@@ -1,0 +1,42 @@
+"""Configuration knobs.
+
+The reference has no config system — all configuration is constructor
+arguments (`/root/reference/src/index.rs:37-60`) and scorer struct fields
+(`bm25.rs:14-26`).  This dataclass mirrors exactly those knobs and adds the
+TPU-specific ones (tile sizes, bucketing, dtype policy, mesh layout).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class IndexConfig:
+    # --- reference-mirrored knobs -----------------------------------------
+    # `Index::new_with_capacity(fields_num, expected_index_size,
+    #  expected_documents_count)` — index.rs:42-60 (defaults at index.rs:38).
+    expected_index_size: int = 1000
+    expected_documents_count: int = 10000
+
+    # --- delta-segment / LSM policy ---------------------------------------
+    # Pending host-side adds are flushed into an immutable delta segment when
+    # a query arrives or when the pending buffer exceeds this many documents.
+    pending_flush_docs: int = 8192
+    # When the number of delta segments exceeds this, they are merged into
+    # the base segment (amortized compaction; `vacuum()` always fully merges).
+    max_segments: int = 8
+
+    # --- device / TPU knobs -------------------------------------------------
+    # Lane-count buckets for the padded posting tile of a query batch.  The
+    # device query program is compiled once per (batch, jobs, lanes) bucket.
+    lane_buckets: tuple[int, ...] = (2048, 8192, 32768, 131072, 524288, 2097152)
+    # Max expansions considered per query term on the device path (the exact
+    # host path has no cap, matching the reference).
+    max_expansions: int = 64
+    # Max query terms per query on the device path.
+    max_query_terms: int = 16
+    # Compute dtype on device (scores); the host oracle path is always f64.
+    score_dtype: str = "float32"
+    # Default top-k for the device query path.
+    default_top_k: int = 10

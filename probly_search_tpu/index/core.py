@@ -1,0 +1,460 @@
+"""The Index — host orchestration over immutable segments.
+
+Reproduces the observable semantics of the reference `Index<T>`
+(`/root/reference/src/index.rs:19-199`) and its query engine
+(`/root/reference/src/query.rs:17-164`) on top of the segment SoA data model
+(see segment.py).  The exact host path below is the **semantics oracle**: it
+runs in pure Python/NumPy float64 and passes every reference golden test to
+8 decimal places.  The TPU path (index/device.py + ops/) is validated against
+it.
+
+Faithfully reproduced quirks (they are observable through golden scores):
+
+* Field stats bookkeeping: on add, ``sum`` / ``avg`` are updated once per
+  field *value* with denominator ``len(docs_before_insert) + 1``
+  (index.rs:112-114); multi-valued fields leave ``field_length`` equal to the
+  LAST value's count (index.rs:114 overwrites, does not accumulate).
+* On remove, only fields with ``field_length > 0`` get their stats updated,
+  and ``avg`` becomes IEEE ``inf``/``nan`` when the last document is removed
+  (index.rs:175-185; asserted by index.rs:643).
+* ``document_frequency`` equals the number of live posting *pointers* in the
+  reference — one per term occurrence across all fields (index.rs:119) — i.e.
+  ``sum of occurrence counts over live docs``, not the deduplicated doc
+  count.  BM25's df clamp (bm25.rs:41) depends on this.
+* Query-term tokens are counted BEFORE empty-token filtering
+  (query.rs:32-35); ``query_terms_len`` includes empties (observable through
+  zero-to-one's normalization, zero_to_one.rs:119).
+* Latent deletion: removed docs' postings stay in segments until ``vacuum``;
+  queries filter them via the liveness mask (query.rs:65), and term expansion
+  still sees their terms (query.rs:136 checks ``first_doc`` regardless of
+  removal) but a term whose live df is 0 is never scored (query.rs:48).
+
+Documented divergences (no golden test covers either; both are reference
+bugs this engine chooses not to reproduce):
+
+* Re-adding an existing key in the reference leaves stale postings pointing
+  at the key while overwriting ``docs[key]`` (index.rs:118; exploited only by
+  structural tests index.rs:744-775).  Here, re-adding a key first removes
+  the old document (latently), then adds the new one.
+* In the reference, removing a key and then re-adding it leaves the key in
+  the ``removed`` set, hiding the re-added doc from queries until ``vacuum``.
+  Here liveness is tracked per doc slot, so the re-added doc is visible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..config import IndexConfig
+from ..models.base import (
+    DocumentDetails,
+    DocumentPointer,
+    FieldData,
+    FieldDetails,
+    QueryResult,
+    ScoreCalculator,
+    TermData,
+)
+from ..utils.tokenizers import whitespace_tokenizer
+from .segment import Segment, build_segment, empty_segment, merge_segments
+
+FieldAccessor = Callable[[Any], Sequence[str]]
+Tokenizer = Callable[[str], Sequence[str]]
+
+
+class Index:
+    """Full-text index over generic document keys.
+
+    Mirrors ``Index::new`` / ``new_with_capacity`` (index.rs:37-60),
+    ``add_document`` (index.rs:77), ``remove_document`` (index.rs:161),
+    ``vacuum`` (index.rs:194) and ``query`` (query.rs:21).
+    """
+
+    def __init__(
+        self,
+        fields_num: int,
+        expected_index_size: int = 1000,
+        expected_documents_count: int = 10000,
+        config: Optional[IndexConfig] = None,
+    ):
+        if fields_num < 0:
+            raise ValueError("fields_num must be >= 0")
+        self.config = config or IndexConfig(
+            expected_index_size=expected_index_size,
+            expected_documents_count=expected_documents_count,
+        )
+        self._num_fields = fields_num
+        self._fields: List[FieldDetails] = [FieldDetails(sum=0, avg=0.0) for _ in range(fields_num)]
+
+        # Document store: user key <-> dense int32 slot.
+        self._key_to_slot: Dict[Any, int] = {}
+        self._slot_to_key: List[Any] = []
+        self._docs: Dict[Any, DocumentDetails] = {}  # live docs only
+        cap = max(16, self.config.expected_documents_count)
+        self._doc_len = np.zeros((cap, fields_num), dtype=np.int64)
+        self._alive = np.zeros(cap, dtype=bool)
+        self._next_slot = 0
+
+        # Latent-removal bookkeeping (the `removed` set, index.rs:32).
+        self._removed_keys: Set[Any] = set()
+
+        # Postings: immutable segments + pending host buffer.
+        self._segments: List[Segment] = []
+        self._pending: List[Tuple[int, Dict[str, np.ndarray]]] = []
+        self._pending_docs = 0
+
+        # Monotonic version for device-side cache invalidation.
+        self._version = 0
+        self._device_cache = None
+
+    # ------------------------------------------------------------------ #
+    # constructors mirroring the reference                                #
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def new(cls, fields_num: int) -> "Index":
+        return cls(fields_num)
+
+    @classmethod
+    def new_with_capacity(
+        cls, fields_num: int, expected_index_size: int, expected_documents_count: int
+    ) -> "Index":
+        return cls(fields_num, expected_index_size, expected_documents_count)
+
+    # ------------------------------------------------------------------ #
+    # properties / introspection                                          #
+    # ------------------------------------------------------------------ #
+
+    @property
+    def num_fields(self) -> int:
+        return self._num_fields
+
+    @property
+    def fields(self) -> List[FieldDetails]:
+        """Per-field stats (`FieldDetails`, index.rs:389-396)."""
+        return self._fields
+
+    @property
+    def docs(self) -> Dict[Any, DocumentDetails]:
+        """Live documents by key (the `docs` map, index.rs:21)."""
+        return self._docs
+
+    @property
+    def removed_keys(self) -> Set[Any]:
+        """Keys removed but not yet vacuumed (the `removed` set, index.rs:32)."""
+        return set(self._removed_keys)
+
+    @property
+    def num_segments(self) -> int:
+        return len(self._segments)
+
+    @property
+    def version(self) -> int:
+        return self._version
+
+    def terms(self) -> List[str]:
+        """All indexed terms (union across segments), sorted."""
+        self._flush_pending()
+        out: Set[str] = set()
+        for seg in self._segments:
+            out.update(seg.terms)
+        return sorted(out)
+
+    def document_frequency(self, term: str) -> int:
+        """Live posting-pointer count for an exact term — the analogue of
+        ``count_documents`` (index.rs:282-297): one pointer per occurrence,
+        removed docs skipped."""
+        self._flush_pending()
+        slots, _tfs, occs = self._gather_postings(term)
+        if len(slots) == 0:
+            return 0
+        return int(occs[self._alive[slots]].sum())
+
+    # ------------------------------------------------------------------ #
+    # mutation                                                            #
+    # ------------------------------------------------------------------ #
+
+    def add_document(
+        self,
+        field_accessors: Sequence[FieldAccessor],
+        tokenizer: Tokenizer,
+        key: Any,
+        doc: Any,
+    ) -> None:
+        """Add a document (index.rs:77-158).
+
+        Tokenizes each field value, filters empty tokens (index.rs:100-110),
+        updates field stats with the reference's exact bookkeeping, and
+        buffers the (term -> per-field tf) postings for the next segment
+        flush.  Re-adding an existing key removes the old doc first
+        (documented divergence, see module docstring).
+        """
+        if key in self._key_to_slot:
+            self.remove_document(key)
+
+        F = self._num_fields
+        field_length = np.zeros(F, dtype=np.int64)
+        term_counts: Dict[str, np.ndarray] = {}
+        n_before = len(self._docs)
+
+        for i in range(F):
+            field_values = field_accessors[i](doc)
+            fd = self._fields[i]
+            for field_value in field_values:
+                terms = tokenizer(field_value)
+                filtered_terms_count = 0
+                for term in terms:
+                    if term:
+                        filtered_terms_count += 1
+                        counts = term_counts.get(term)
+                        if counts is None:
+                            counts = np.zeros(F, dtype=np.int64)
+                            term_counts[term] = counts
+                        counts[i] += 1
+                # Exact reference bookkeeping (index.rs:112-114): update per
+                # field VALUE, denominator = pre-insert doc count + 1, and
+                # field_length overwritten (not accumulated).
+                fd.sum += filtered_terms_count
+                fd.avg = fd.sum / (n_before + 1.0)
+                field_length[i] = filtered_terms_count
+
+        slot = self._allocate_slot(key)
+        self._doc_len[slot] = field_length
+        self._alive[slot] = True
+        self._docs[key] = DocumentDetails(key=key, field_length=field_length)
+
+        self._pending.append((slot, term_counts))
+        self._pending_docs += 1
+        self._version += 1
+        if self._pending_docs >= self.config.pending_flush_docs:
+            self._flush_pending()
+
+    def add_documents(
+        self,
+        field_accessors: Sequence[FieldAccessor],
+        tokenizer: Tokenizer,
+        items: Sequence[Tuple[Any, Any]],
+    ) -> None:
+        """Bulk add — batched indexing is the TPU-native entry point."""
+        for key, doc in items:
+            self.add_document(field_accessors, tokenizer, key, doc)
+
+    def remove_document(self, key: Any) -> None:
+        """Latent removal (index.rs:161-191): flips the liveness bit and
+        updates field stats; postings stay until ``vacuum``."""
+        details = self._docs.get(key)
+        if details is None:
+            return
+        self._removed_keys.add(key)
+        new_len = len(self._docs) - 1
+        for i in range(self._num_fields):
+            fl = int(details.field_length[i])
+            if fl > 0:
+                fd = self._fields[i]
+                fd.sum -= fl
+                # IEEE semantics: 0/0 -> nan, x/0 -> inf (matches Rust f64;
+                # asserted by the reference at index.rs:643).
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    fd.avg = float(np.float64(fd.sum) / np.float64(new_len))
+        slot = self._key_to_slot.pop(key)
+        self._alive[slot] = False
+        del self._docs[key]
+        self._version += 1
+
+    def vacuum(self) -> None:
+        """Purge removed documents (index.rs:194-241): merge all segments
+        dropping dead postings and empty terms, and compact doc slots."""
+        self._flush_pending()
+        F = self._num_fields
+        live_slots = np.flatnonzero(self._alive[: self._next_slot])
+        remap = np.full(self._next_slot, -1, dtype=np.int64)
+        remap[live_slots] = np.arange(len(live_slots))
+
+        merged = merge_segments(self._segments, F, alive=self._alive, slot_remap=remap)
+        self._segments = [merged] if merged.num_postings else []
+
+        # Compact the doc store.
+        new_count = len(live_slots)
+        cap = max(16, self.config.expected_documents_count, new_count)
+        new_doc_len = np.zeros((cap, F), dtype=np.int64)
+        if new_count:
+            new_doc_len[:new_count] = self._doc_len[live_slots]
+        new_alive = np.zeros(cap, dtype=bool)
+        new_alive[:new_count] = True
+        new_slot_to_key: List[Any] = [self._slot_to_key[s] for s in live_slots]
+        self._doc_len = new_doc_len
+        self._alive = new_alive
+        self._slot_to_key = new_slot_to_key
+        self._key_to_slot = {k: i for i, k in enumerate(new_slot_to_key)}
+        self._next_slot = new_count
+        self._removed_keys = set()
+        self._version += 1
+
+    # ------------------------------------------------------------------ #
+    # query                                                               #
+    # ------------------------------------------------------------------ #
+
+    def query(
+        self,
+        query: str,
+        score_calculator: ScoreCalculator,
+        tokenizer: Tokenizer = whitespace_tokenizer,
+        fields_boost: Optional[Sequence[float]] = None,
+        top_k: Optional[int] = None,
+    ) -> List[QueryResult]:
+        """Free-text disjunctive query (query.rs:21-106) — exact host path.
+
+        Per query term: expand to all completions (query.rs:109-147); per
+        expansion with live df > 0: ``before_each`` then the posting walk
+        calling ``score`` per live posting; merge with the max-within-term /
+        sum-across-terms rule (query.rs:150-164); ``finalize``; sort by score
+        descending.  Returns ALL matching docs like the reference (tie order:
+        deterministic by doc insertion order, where the reference's is
+        unspecified HashMap order).
+        """
+        if fields_boost is None:
+            fields_boost = [1.0] * self._num_fields
+        self._flush_pending()
+
+        query_terms = list(tokenizer(query))
+        query_terms_len = len(query_terms)  # counted BEFORE filtering (query.rs:32)
+        scores: Dict[int, float] = {}  # doc slot -> merged score
+        node_ids: Dict[str, int] = {}  # expanded term -> per-query node id
+        field_data = FieldData(fields_boost=fields_boost, fields=self._fields)
+
+        for qti, qterm in enumerate(query_terms):
+            if not qterm:
+                continue
+            visited: Set[int] = set()  # docs seen under THIS query term (query.rs:37)
+            for exp_term in self._expand_term_sorted(qterm):
+                slots, tfs, occs = self._gather_postings(exp_term)
+                if len(slots) == 0:
+                    continue
+                alive_mask = self._alive[slots]
+                df = int(occs[alive_mask].sum())
+                if df <= 0:
+                    continue  # query.rs:48
+                node_id = node_ids.setdefault(exp_term, len(node_ids))
+                term_data = TermData(
+                    query_term_index=qti,
+                    query_term=qterm,
+                    query_term_expanded=exp_term,
+                    query_terms_len=query_terms_len,
+                )
+                pre = score_calculator.before_each(term_data, df, self._docs)
+                for j in range(len(slots)):
+                    slot = int(slots[j])
+                    if alive_mask[j]:
+                        key = self._slot_to_key[slot]
+                        details = self._docs[key]
+                        pointer = DocumentPointer(details_key=key, term_frequency=tfs[j])
+                        s = score_calculator.score(
+                            pre, pointer, details, node_id, field_data, term_data
+                        )
+                        if s is not None:
+                            prev = scores.get(slot)
+                            if prev is None:
+                                scores[slot] = s
+                            elif slot in visited:
+                                scores[slot] = max(prev, s)  # same-term re-visit
+                            else:
+                                scores[slot] = prev + s  # disjunction across terms
+                    visited.add(slot)
+
+        results = [QueryResult(key=self._slot_to_key[slot], score=sc) for slot, sc in scores.items()]
+        score_calculator.finalize(results)
+        slot_order = {self._slot_to_key[slot]: slot for slot in scores}
+        results.sort(key=lambda r: (-r.score, slot_order[r.key]))
+        if top_k is not None:
+            results = results[:top_k]
+        return results
+
+    def expand_term(self, term: str) -> List[str]:
+        """All completions of ``term`` that carry at least one posting
+        (including postings of removed-but-unvacuumed docs), mirroring
+        ``expand_term`` (query.rs:109-147).  Returned in lexicographic order
+        (the reference returns reverse-insertion trie order; only membership
+        is part of the contract)."""
+        self._flush_pending()
+        return self._expand_term_sorted(term)
+
+    # ------------------------------------------------------------------ #
+    # internals                                                           #
+    # ------------------------------------------------------------------ #
+
+    def _allocate_slot(self, key: Any) -> int:
+        slot = self._next_slot
+        if slot >= len(self._alive):
+            new_cap = max(16, len(self._alive) * 2)
+            doc_len = np.zeros((new_cap, self._num_fields), dtype=np.int64)
+            doc_len[: len(self._doc_len)] = self._doc_len
+            alive = np.zeros(new_cap, dtype=bool)
+            alive[: len(self._alive)] = self._alive
+            self._doc_len = doc_len
+            self._alive = alive
+        self._next_slot += 1
+        self._key_to_slot[key] = slot
+        self._slot_to_key.append(key)
+        assert len(self._slot_to_key) == self._next_slot
+        return slot
+
+    def _flush_pending(self) -> None:
+        if not self._pending:
+            return
+        rows_term: List[str] = []
+        rows_doc: List[int] = []
+        rows_tf: List[np.ndarray] = []
+        for slot, term_counts in self._pending:
+            for term, tf in term_counts.items():
+                rows_term.append(term)
+                rows_doc.append(slot)
+                rows_tf.append(tf)
+        seg = build_segment(
+            rows_term,
+            np.asarray(rows_doc, dtype=np.int32),
+            np.stack(rows_tf) if rows_tf else np.zeros((0, self._num_fields), np.int64),
+            self._num_fields,
+        )
+        if seg.num_postings:
+            self._segments.append(seg)
+        self._pending = []
+        self._pending_docs = 0
+        if len(self._segments) > self.config.max_segments:
+            # Routine merge: keep latently-deleted postings (only vacuum drops).
+            merged = merge_segments(self._segments, self._num_fields)
+            self._segments = [merged] if merged.num_postings else []
+
+    def _expand_term_sorted(self, term: str) -> List[str]:
+        out: Set[str] = set()
+        for seg in self._segments:
+            lo, hi = seg.prefix_range(term)
+            if hi > lo:
+                out.update(seg.terms[lo:hi])
+        return sorted(out)
+
+    def _gather_postings(self, term: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Concatenated postings for an exact term across segments, sorted by
+        doc slot.  Each (term, slot) pair is unique across segments because a
+        document's postings land in exactly one segment."""
+        parts = []
+        for seg in self._segments:
+            tid = seg.find_term(term)
+            if tid >= 0:
+                parts.append(seg.postings(tid))
+        if not parts:
+            return (
+                np.zeros(0, dtype=np.int32),
+                np.zeros((0, self._num_fields), dtype=np.int32),
+                np.zeros(0, dtype=np.int32),
+            )
+        if len(parts) == 1:
+            slots, tfs, occs = parts[0]
+        else:
+            slots = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            occs = np.concatenate([p[2] for p in parts])
+        order = np.argsort(slots, kind="stable")
+        return slots[order], tfs[order], occs[order]

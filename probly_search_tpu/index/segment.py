@@ -1,0 +1,191 @@
+"""Immutable index segments — the TPU-native replacement for the trie.
+
+The reference stores its inverted index as a per-char trie of arena-allocated
+nodes with intrusive linked lists (`/root/reference/src/index.rs:363-452`).
+That layout is pointer-chasing and scalar — hostile to XLA.  This engine
+replaces it wholesale with an LSM-style list of immutable **segments**, each a
+structure-of-arrays:
+
+* ``terms``      — lexicographically sorted unique term strings (host side).
+  Sorting is by Unicode code point, which equals Rust's byte-wise ``String``
+  ordering for UTF-8.  Prefix expansion (`query.rs:109-147`) becomes two
+  binary searches yielding a contiguous ``[lo, hi)`` range.
+* ``term_lens``  — per-term byte length (BM25's expansion boost and
+  zero-to-one's length matching use byte lengths, `bm25.rs:51`,
+  `zero_to_one.rs:57`).
+* ``offsets``    — CSR offsets, ``int64[T + 1]``.
+* ``post_doc``   — posting doc slots, ``int32[P]``, sorted within each term.
+* ``post_tf``    — per-field term frequency, ``int32[P, F]`` (mirrors
+  ``DocumentPointer.term_frequency``, `index.rs:360`).
+* ``post_occ``   — total occurrences per posting = row-sum of ``post_tf``.
+  The reference inserts one posting pointer per term *occurrence*
+  (`index.rs:119`), so its ``count_documents`` (`index.rs:282-297`) returns
+  the number of live pointers = sum over live docs of occurrence counts.
+  This engine de-duplicates postings per (term, doc) — semantically equal
+  because duplicate pointers carry identical tf vectors and the query's
+  max-merge collapses them (`query.rs:150-164`) — and defines
+  ``df(term) = sum(post_occ[range][alive])`` to reproduce the reference's
+  df numerics bit-for-bit (this matters for BM25's clamp, `bm25.rs:41`).
+
+Mutation model (mirrors fast-insert / latent-delete, `index.rs:15-16`):
+adds accumulate in a host-side pending buffer and flush into a new delta
+segment; removals only flip a liveness bit; ``vacuum`` merges all segments
+with dead postings dropped (the analogue of ``vacuum_node`` pruning,
+`index.rs:202-241`).
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left, bisect_right
+from dataclasses import dataclass
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Segment:
+    """One immutable sorted-term + CSR-postings segment."""
+
+    terms: List[str]  # sorted unique terms
+    term_lens: np.ndarray  # int32[T] — utf-8 byte length per term
+    offsets: np.ndarray  # int64[T+1]
+    post_doc: np.ndarray  # int32[P] — doc slot per posting
+    post_tf: np.ndarray  # int32[P, F]
+    post_occ: np.ndarray  # int32[P] — total occurrences (sum of tf over fields)
+
+    @property
+    def num_terms(self) -> int:
+        return len(self.terms)
+
+    @property
+    def num_postings(self) -> int:
+        return int(self.post_doc.shape[0])
+
+    @property
+    def num_fields(self) -> int:
+        return int(self.post_tf.shape[1])
+
+    # -- lookups -------------------------------------------------------------
+
+    def find_term(self, term: str) -> int:
+        """Exact-term lookup; -1 if absent (replaces
+        ``find_inverted_index_node``, index.rs:300-318)."""
+        i = bisect_left(self.terms, term)
+        if i < len(self.terms) and self.terms[i] == term:
+            return i
+        return -1
+
+    def prefix_range(self, prefix: str) -> Tuple[int, int]:
+        """Contiguous [lo, hi) range of terms with the given prefix — the
+        trie-DFS expansion (`query.rs:109-147`) as two binary searches."""
+        n = len(prefix)
+        lo = bisect_left(self.terms, prefix, key=lambda t: t[:n])
+        hi = bisect_right(self.terms, prefix, key=lambda t: t[:n])
+        return lo, hi
+
+    def postings(self, tid: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_slots, tf, occ) arrays for one term id."""
+        s, e = int(self.offsets[tid]), int(self.offsets[tid + 1])
+        return self.post_doc[s:e], self.post_tf[s:e], self.post_occ[s:e]
+
+
+def build_segment(
+    rows_term: Sequence[str],
+    rows_doc: np.ndarray,
+    rows_tf: np.ndarray,
+    num_fields: int,
+) -> Segment:
+    """Build a segment from unsorted (term, doc_slot, tf[F]) rows.
+
+    This is the host reference implementation of the build pipeline
+    (tokenize -> sort by (term, doc) -> CSR pack); `ops/build.py` provides
+    the batched on-device variant of the sort/pack stages.
+    """
+    P = len(rows_term)
+    if P == 0:
+        return empty_segment(num_fields)
+    rows_doc = np.asarray(rows_doc, dtype=np.int32)
+    rows_tf = np.asarray(rows_tf, dtype=np.int32).reshape(P, num_fields)
+
+    # Sort rows by (term, doc).  Terms are interned to sorted unique ids first
+    # so the heavy sort runs on integers (numpy), not Python strings.
+    uniq_terms, term_ids = np.unique(np.asarray(rows_term, dtype=object), return_inverse=True)
+    order = np.lexsort((rows_doc, term_ids))
+    term_ids = term_ids[order]
+    post_doc = rows_doc[order]
+    post_tf = rows_tf[order]
+
+    # CSR offsets via counting each term's postings.
+    T = len(uniq_terms)
+    counts = np.bincount(term_ids, minlength=T)
+    offsets = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    terms = [str(t) for t in uniq_terms]
+    term_lens = np.array([len(t.encode("utf-8")) for t in terms], dtype=np.int32)
+    post_occ = post_tf.sum(axis=1, dtype=np.int32)
+    return Segment(
+        terms=terms,
+        term_lens=term_lens,
+        offsets=offsets,
+        post_doc=post_doc,
+        post_tf=post_tf,
+        post_occ=post_occ,
+    )
+
+
+def empty_segment(num_fields: int) -> Segment:
+    return Segment(
+        terms=[],
+        term_lens=np.zeros(0, dtype=np.int32),
+        offsets=np.zeros(1, dtype=np.int64),
+        post_doc=np.zeros(0, dtype=np.int32),
+        post_tf=np.zeros((0, num_fields), dtype=np.int32),
+        post_occ=np.zeros(0, dtype=np.int32),
+    )
+
+
+def merge_segments(
+    segments: Sequence[Segment],
+    num_fields: int,
+    alive: Optional[np.ndarray] = None,
+    slot_remap: Optional[np.ndarray] = None,
+) -> Segment:
+    """Merge segments into one; optionally drop postings of dead doc slots
+    and remap doc slots (used by ``vacuum``; `index.rs:194-241` analogue).
+
+    Routine (non-vacuum) merges pass ``alive=None`` so latently-deleted
+    postings are retained — the reference keeps removed docs' postings in the
+    trie until vacuum, which is observable through term expansion
+    (`query.rs:136` checks ``first_doc.is_some()`` regardless of removal).
+    """
+    parts_terms: List[str] = []
+    parts_doc: List[np.ndarray] = []
+    parts_tf: List[np.ndarray] = []
+    for seg in segments:
+        if seg.num_postings == 0:
+            continue
+        # Expand per-posting term strings from CSR (vectorized repeat).
+        reps = np.diff(seg.offsets).astype(np.int64)
+        terms_per_post = np.repeat(np.asarray(seg.terms, dtype=object), reps)
+        doc = seg.post_doc
+        tf = seg.post_tf
+        if alive is not None:
+            keep = alive[doc]
+            terms_per_post = terms_per_post[keep]
+            doc = doc[keep]
+            tf = tf[keep]
+        if slot_remap is not None:
+            doc = slot_remap[doc].astype(np.int32)
+        parts_terms.extend(terms_per_post.tolist())
+        parts_doc.append(doc)
+        parts_tf.append(tf)
+    if not parts_doc:
+        return empty_segment(num_fields)
+    return build_segment(
+        parts_terms,
+        np.concatenate(parts_doc),
+        np.concatenate(parts_tf),
+        num_fields,
+    )

@@ -1,0 +1,181 @@
+"""Index structure white-box tests.
+
+Re-targets the reference's trie-structure unit tests
+(`/root/reference/src/index.rs:454-785`) at this engine's data model: the
+sorted term table and CSR postings replace node/char layout assertions, but
+the observable invariants (field stats, term membership, posting contents,
+vacuum emptiness, NaN average) are identical.
+"""
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pytest
+
+from probly_search_tpu import Index
+from .util import tokenizer
+
+
+@dataclass
+class Doc:
+    id: int
+    text: str
+
+
+def field_accessor(doc):
+    return [doc.text]
+
+
+def test_add_one_document_with_three_terms():
+    # index.rs:497-545 — one doc "a b c".
+    index = Index(1)
+    doc = Doc(id=1, text="a b c")
+    index.add_document([field_accessor], tokenizer, doc.id, doc)
+
+    assert len(index.docs) == 1
+    details = index.docs[1]
+    assert details.key == 1
+    assert list(details.field_length) == [3]
+    assert index.fields[0].sum == 3
+    assert index.fields[0].avg == 3.0
+
+    assert index.terms() == ["a", "b", "c"]
+    for t in ("a", "b", "c"):
+        assert index.document_frequency(t) == 1
+
+
+def test_add_shared_terms():
+    # index.rs:548-604 — "a b c" + "b c d" share terms.
+    index = Index(1)
+    index.add_document([field_accessor], tokenizer, 1, Doc(id=1, text="a b c"))
+    index.add_document([field_accessor], tokenizer, 2, Doc(id=2, text="b c d"))
+
+    assert len(index.docs) == 2
+    assert list(index.docs[1].field_length) == [3]
+    assert list(index.docs[2].field_length) == [3]
+    assert index.fields[0].sum == 6
+    assert index.fields[0].avg == 3.0
+    assert index.terms() == ["a", "b", "c", "d"]
+    assert index.document_frequency("a") == 1
+    assert index.document_frequency("b") == 2
+    assert index.document_frequency("c") == 2
+    assert index.document_frequency("d") == 1
+
+
+def test_ignores_empty_tokens():
+    # index.rs:607-617 — double space introduces empty tokens.
+    index = Index(1)
+    index.add_document([field_accessor], tokenizer, 1, Doc(id=1, text="a  b"))
+    assert index.terms() == ["a", "b"]
+    assert list(index.docs[1].field_length) == [2]
+    assert index.fields[0].sum == 2
+
+
+def test_delete_and_vacuum_empties_index():
+    # index.rs:624-658 — delete the only doc; structures empty, avg NaN.
+    index = Index(1)
+    index.add_document([field_accessor], tokenizer, 1, Doc(id=1, text="a"))
+    index.remove_document(1)
+    index.vacuum()
+
+    assert len(index.docs) == 0
+    assert len(index.fields) == 1
+    assert index.fields[0].sum == 0
+    assert math.isnan(index.fields[0].avg)  # asserted by index.rs:643
+    assert index.terms() == []
+    assert index.num_segments == 0
+    assert index.removed_keys == set()
+
+
+def test_latent_delete_keeps_postings_until_vacuum():
+    # Mirrors the latent-deletion model (index.rs:161-199): postings survive
+    # remove_document (expansion still sees the term) but df drops to 0.
+    index = Index(1)
+    index.add_document([field_accessor], tokenizer, 1, Doc(id=1, text="abc"))
+    index.remove_document(1)
+    assert index.expand_term("a") == ["abc"]  # postings still present
+    assert index.document_frequency("abc") == 0  # but dead
+    index.vacuum()
+    assert index.expand_term("a") == []
+
+
+def test_count_nodes_equivalent_term_membership():
+    # index.rs:739-776 count_nodes tests, re-targeted: distinct terms.
+    index = Index(1)
+    index.add_document([field_accessor], tokenizer, 1, Doc(id=1, text="abc"))
+    index.add_document([field_accessor], tokenizer, 2, Doc(id=2, text="abe"))
+    assert index.terms() == ["abc", "abe"]
+
+    index2 = Index(1)
+    index2.add_document([field_accessor], tokenizer, 1, Doc(id=1, text="ab cd"))
+    index2.add_document([field_accessor], tokenizer, 2, Doc(id=2, text="ab ef"))
+    assert index2.terms() == ["ab", "cd", "ef"]
+
+    index3 = Index(1)
+    assert index3.terms() == []
+
+
+def test_prefix_range_lookup():
+    # Replaces find_inverted_index_node / child-by-char tests
+    # (index.rs:660-733) with the sorted-table equivalents.
+    index = Index(1)
+    for i, text in enumerate(["abc", "abd", "ax", "b"]):
+        index.add_document([field_accessor], tokenizer, i, Doc(id=i, text=text))
+    assert index.expand_term("ab") == ["abc", "abd"]
+    assert index.expand_term("a") == ["abc", "abd", "ax"]
+    assert index.expand_term("abc") == ["abc"]
+    assert index.expand_term("abcx") == []
+    assert index.expand_term("c") == []
+
+
+def test_readd_same_key_replaces_document():
+    # Documented divergence from index.rs:744-755: re-adding a key replaces
+    # the old document instead of leaving stale postings.
+    index = Index(1)
+    index.add_document([field_accessor], tokenizer, 1, Doc(id=1, text="abc"))
+    index.add_document([field_accessor], tokenizer, 1, Doc(id=1, text="abe"))
+    assert len(index.docs) == 1
+    assert index.document_frequency("abc") == 0
+    assert index.document_frequency("abe") == 1
+
+
+def test_field_stats_update_on_remove():
+    # remove_document stat bookkeeping (index.rs:175-185).
+    index = Index(1)
+    index.add_document([field_accessor], tokenizer, 1, Doc(id=1, text="a b c"))
+    index.add_document([field_accessor], tokenizer, 2, Doc(id=2, text="d e"))
+    assert index.fields[0].sum == 5
+    assert index.fields[0].avg == 2.5
+    index.remove_document(1)
+    assert index.fields[0].sum == 2
+    assert index.fields[0].avg == 2.0
+
+
+def test_multi_value_field_quirk():
+    # index.rs:112-114: with multiple field values, sum accumulates but
+    # field_length keeps only the LAST value's count.
+    index = Index(1)
+
+    def multi_accessor(doc):
+        return ["a b c", "d e"]
+
+    index.add_document([multi_accessor], tokenizer, 1, Doc(id=1, text=""))
+    assert index.fields[0].sum == 5
+    assert list(index.docs[1].field_length) == [2]
+
+
+def test_segment_csr_invariants():
+    # New-model white-box: CSR offsets are monotonic and postings doc-sorted.
+    index = Index(1)
+    for i in range(50):
+        index.add_document([field_accessor], tokenizer, i, Doc(id=i, text=f"t{i % 7} shared"))
+    index._flush_pending()
+    for seg in index._segments:
+        offs = seg.offsets
+        assert offs[0] == 0 and offs[-1] == seg.num_postings
+        assert np.all(np.diff(offs) >= 0)
+        for tid in range(seg.num_terms):
+            docs = seg.post_doc[offs[tid] : offs[tid + 1]]
+            assert np.all(np.diff(docs) > 0)  # strictly increasing (dedup'd)
+        assert np.array_equal(seg.post_occ, seg.post_tf.sum(axis=1))

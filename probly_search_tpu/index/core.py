@@ -39,6 +39,17 @@ bugs this engine chooses not to reproduce):
 * In the reference, removing a key and then re-adding it leaves the key in
   the ``removed`` set, hiding the re-added doc from queries until ``vacuum``.
   Here liveness is tracked per doc slot, so the re-added doc is visible.
+* Score merging implements the canonical "max within a query term, sum
+  across query terms" rule directly (per-term max accumulator, then sum).
+  The reference's literal ``max_score_merger`` (query.rs:150-164) folds the
+  running *total* into the per-term max — ``max(total + s_first, s_later)``
+  — which makes multi-term results depend on its internal trie-insertion
+  visit order.  The two rules agree on every reference golden test and on
+  all single-term queries; they can differ only when a doc matches two
+  expansions of one term in a multi-term query AND a later-visited expansion
+  outscores the accumulated total, where the reference's own answer is
+  order-dependent.  The canonical rule is order-independent, which is what
+  makes the massively-parallel device merge well-defined.
 """
 
 from __future__ import annotations
@@ -328,7 +339,9 @@ class Index:
         for qti, qterm in enumerate(query_terms):
             if not qterm:
                 continue
-            visited: Set[int] = set()  # docs seen under THIS query term (query.rs:37)
+            # Per-term max accumulator — the "max within a query term" half of
+            # the merge rule (query.rs:150-164; see module docstring).
+            term_best: Dict[int, float] = {}
             for exp_term in self._expand_term_sorted(qterm):
                 slots, tfs, occs = self._gather_postings(exp_term)
                 if len(slots) == 0:
@@ -355,14 +368,11 @@ class Index:
                             pre, pointer, details, node_id, field_data, term_data
                         )
                         if s is not None:
-                            prev = scores.get(slot)
-                            if prev is None:
-                                scores[slot] = s
-                            elif slot in visited:
-                                scores[slot] = max(prev, s)  # same-term re-visit
-                            else:
-                                scores[slot] = prev + s  # disjunction across terms
-                    visited.add(slot)
+                            prev = term_best.get(slot)
+                            term_best[slot] = s if prev is None else max(prev, s)
+            # "Sum across query terms" — disjunction (query.rs:150-164).
+            for slot, best in term_best.items():
+                scores[slot] = scores.get(slot, 0.0) + best
 
         results = [QueryResult(key=self._slot_to_key[slot], score=sc) for slot, sc in scores.items()]
         score_calculator.finalize(results)
@@ -371,6 +381,55 @@ class Index:
         if top_k is not None:
             results = results[:top_k]
         return results
+
+    def query_batch(
+        self,
+        queries: Sequence[str],
+        score_calculator: Optional[ScoreCalculator] = None,
+        tokenizer: Tokenizer = whitespace_tokenizer,
+        fields_boost: Optional[Sequence[float]] = None,
+        top_k: Optional[int] = None,
+        backend: str = "auto",
+    ) -> List[List[QueryResult]]:
+        """Batched top-k query — the TPU-native entry point.
+
+        The reference answers one query at a time (`query.rs:21`); batching
+        is what turns the device into a QPS machine (SURVEY §2.3).  Scorers
+        implementing the device protocol (BM25) run as one XLA program over
+        the whole batch; others (zero-to-one, custom host scorers) fall back
+        to the exact host path per query.
+        """
+        if score_calculator is None:
+            from ..models import bm25 as _bm25
+
+            score_calculator = _bm25.new()
+        k = top_k or self.config.default_top_k
+        device_capable = hasattr(score_calculator, "device_score_lanes") and not getattr(
+            score_calculator, "device_needs_finalize", True
+        )
+        if backend == "device" and not device_capable:
+            raise ValueError(
+                f"{type(score_calculator).__name__} does not implement the "
+                "device scorer protocol; use backend='exact'"
+            )
+        if backend in ("auto", "device") and device_capable:
+            dix = self.device_index()
+            return dix.query_batch(
+                queries, score_calculator, tokenizer, fields_boost, top_k=k
+            )
+        return [
+            self.query(q, score_calculator, tokenizer, fields_boost, top_k=k)
+            for q in queries
+        ]
+
+    def device_index(self):
+        """Device-resident snapshot (cached until the index mutates)."""
+        from .device import DeviceIndex
+
+        self._flush_pending()
+        if self._device_cache is None or self._device_cache.version != self._version:
+            self._device_cache = DeviceIndex(self)
+        return self._device_cache
 
     def expand_term(self, term: str) -> List[str]:
         """All completions of ``term`` that carry at least one posting

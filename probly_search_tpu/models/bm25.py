@@ -55,6 +55,10 @@ class BM25(BaseScoreCalculator):
         self.bm25k1 = bm25k1
         self.bm25b = bm25b
 
+    def device_cache_key(self):
+        """Jit-cache key: scorers with equal params share compiled programs."""
+        return ("bm25", self.bm25k1, self.bm25b)
+
     # --- host (exact f64) path --------------------------------------------
 
     def before_each(

@@ -1,0 +1,128 @@
+"""Device-path parity: the batched TPU query program must agree with the
+exact f64 host oracle on every corpus — same doc sets, same ordering for
+well-separated scores, scores within f32 tolerance (SURVEY §7 hard part 1).
+"""
+
+import random
+import string
+
+import numpy as np
+import pytest
+
+from probly_search_tpu import Index, bm25, whitespace_tokenizer
+from .util import Doc, build_test_index, title_extract, tokenizer
+
+RTOL = 2e-5
+ATOL = 1e-6
+
+
+def assert_parity(index: Index, queries, k=10, fields_boost=None, scorer=None):
+    scorer = scorer or bm25.new()
+    device_rows = index.query_batch(
+        queries, scorer, tokenizer, fields_boost, top_k=k, backend="device"
+    )
+    for q, dev in zip(queries, device_rows):
+        oracle = index.query(q, bm25.new(), tokenizer, fields_boost)[:k]
+        dev_by_key = {r.key: r.score for r in dev}
+        oracle_by_key = {r.key: r.score for r in oracle}
+        # When k truncates, the boundary can swap under f32 ties; compare the
+        # clearly-in set and score values for the intersection.
+        assert len(dev) == len(oracle), (q, dev, oracle)
+        if oracle:
+            kth = oracle[-1].score
+            must_have = {r.key for r in oracle if r.score > kth * (1 + RTOL) + ATOL}
+            assert must_have <= set(dev_by_key), (q, dev, oracle)
+        for key in set(dev_by_key) & set(oracle_by_key):
+            np.testing.assert_allclose(
+                dev_by_key[key], oracle_by_key[key], rtol=RTOL, atol=ATOL, err_msg=q
+            )
+        # Ordering: equal for score gaps beyond tolerance.
+        for (a, b) in zip(dev, dev[1:]):
+            assert a.score >= b.score - ATOL
+
+
+def test_small_corpus_exact_terms():
+    x = build_test_index(["a b c", "c d e", "b e f", "a a a"])
+    assert_parity(x, ["a", "b", "c", "a d", "b c e", "zzz", ""], k=10)
+
+
+def test_prefix_expansion_parity():
+    x = build_test_index(["abc", "abcd", "abcde", "xyz abc", "ab", "abq abr abs"])
+    assert_parity(x, ["ab", "abc", "a", "x", "abcd abc"], k=10)
+
+
+def test_multi_field_boost_parity():
+    index = Index(2)
+    docs = [
+        Doc(id=1, title="a b c", text="hello world"),
+        Doc(id=2, title="c d e", text="lorem ipsum"),
+        Doc(id=3, title="hello c", text="a b"),
+    ]
+    from .util import text_extract
+
+    for doc in docs:
+        index.add_document([title_extract, text_extract], tokenizer, doc.id, doc)
+    assert_parity(index, ["c", "hello", "a d", "h"], fields_boost=[2.0, 0.5])
+
+
+def test_latent_delete_parity():
+    x = build_test_index(["abc", "abd", "abe abc", "abf"])
+    x.remove_document(1)
+    assert_parity(x, ["ab", "abc", "abd"])
+    x.vacuum()
+    assert_parity(x, ["ab", "abc", "abd"])
+
+
+def test_multi_segment_df_grouping():
+    # Force multiple delta segments so one term's postings span segments;
+    # the df group must sum across them for a single correct idf.
+    x = Index(1)
+    for i in range(6):
+        x.add_document([title_extract], tokenizer, i, Doc(id=i, title="shared t%d" % i))
+        x._flush_pending()  # one segment per doc
+    assert x.num_segments > 1
+    assert_parity(x, ["shared", "t1", "s"])
+
+
+def test_random_corpus_parity():
+    rng = random.Random(1234)
+    alphabet = "abcdefgh"
+
+    def word():
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+
+    x = Index(1)
+    vocab = [word() for _ in range(200)]
+    for i in range(300):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+        x.add_document([title_extract], tokenizer, i, Doc(id=i, title=text))
+    for i in range(40, 60):
+        x.remove_document(i)
+    queries = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4))) for _ in range(20)]
+    queries += [rng.choice(vocab)[:2] for _ in range(10)]  # prefixes
+    assert_parity(x, queries, k=10)
+
+
+def test_duplicate_query_terms_double():
+    # "abc abc" sums the same term twice (disjunction across query terms).
+    x = build_test_index(["abc", "abc xyz"])
+    single = x.query_batch(["abc"], bm25.new(), top_k=5, backend="device")[0]
+    double = x.query_batch(["abc abc"], bm25.new(), top_k=5, backend="device")[0]
+    for s, d in zip(single, double):
+        assert s.key == d.key
+        np.testing.assert_allclose(d.score, 2 * s.score, rtol=RTOL)
+
+
+def test_top_k_truncation():
+    x = build_test_index([f"common w{i}" for i in range(50)])
+    rows = x.query_batch(["common"], bm25.new(), top_k=7, backend="device")
+    assert len(rows[0]) == 7
+    full = x.query(("common"), bm25.new(), tokenizer, [1.0])
+    assert len(full) == 50
+
+
+def test_empty_and_no_match_batch():
+    x = build_test_index(["abc"])
+    rows = x.query_batch(["", "   ", "zzz", "abc"], bm25.new(), top_k=3, backend="device")
+    assert rows[0] == [] and rows[1] == [] and rows[2] == []
+    assert len(rows[3]) == 1

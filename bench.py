@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Headline benchmark: BM25 top-10 query throughput at 1M documents, 1 chip.
+
+Workload (north star from BASELINE.json / BASELINE.md):
+  * corpus: 1,000,000 single-field docs, 8 tokens each, 50k-term vocabulary
+    with Zipf(1.07) frequencies — realistic power-law posting skew.
+  * queries: 3 terms each, Zipf-sampled with the top 100 ranks excluded
+    (standard stopword removal; without it any engine that scores every
+    posting is measuring stopword bandwidth, not search).
+  * batch size 256, top-10, BM25.
+
+The reference (quantleaf/probly-search) publishes no numbers and has no
+query benchmark at all (BASELINE.md); the target is the driver's north star
+of 100k QPS/chip, so vs_baseline = QPS / 100_000.
+
+Prints exactly one JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_corpus(n_docs, vocab_size, doc_len, seed=0):
+    rng = np.random.default_rng(seed)
+    vocab = np.array(["t%05d" % i for i in range(vocab_size)])
+    weights = 1.0 / np.arange(1, vocab_size + 1) ** 1.07
+    cdf = np.cumsum(weights)
+    cdf /= cdf[-1]
+    ids = np.searchsorted(cdf, rng.random((n_docs, doc_len)))
+    texts = [" ".join(row) for row in vocab[ids]]
+    return vocab, cdf, texts
+
+
+def make_queries(vocab, cdf, n_queries, terms_per_query, stop_ranks=100, seed=1):
+    rng = np.random.default_rng(seed)
+    lo = cdf[stop_ranks - 1]
+    ids = np.searchsorted(cdf, lo + rng.random((n_queries, terms_per_query)) * (1.0 - lo))
+    ids = np.minimum(ids, len(vocab) - 1)
+    return [" ".join(row) for row in vocab[ids]]
+
+
+def main():
+    n_docs = int(1e6)
+    batch = 256
+    n_queries = 2048
+    top_k = 10
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    log(f"devices: {jax.devices()}")
+    from probly_search_tpu import Index, bm25, whitespace_tokenizer
+
+    t0 = time.time()
+    vocab, cdf, texts = make_corpus(n_docs, 50_000, 8)
+    t1 = time.time()
+    log(f"corpus gen: {t1 - t0:.1f}s")
+
+    ix = Index(1)
+    ix.add_documents_columnar(list(range(n_docs)), [texts])
+    t2 = time.time()
+    log(f"bulk index build: {t2 - t1:.1f}s ({n_docs / (t2 - t1):.0f} docs/s)")
+
+    queries = make_queries(vocab, cdf, n_queries, 3)
+    scorer = bm25.new()
+    dix = ix.device_index()
+    t3 = time.time()
+    log(f"device snapshot: {t3 - t2:.1f}s")
+
+    # Warmup pass: compiles every dispatch shape class this workload hits.
+    dix.query_batch(queries, scorer, top_k=top_k)
+    t4 = time.time()
+    log(f"warmup (incl. compiles): {t4 - t3:.1f}s")
+
+    # Timed passes.  The whole window is submitted at once: per-dispatch
+    # overhead dominates on tunneled devices, and the engine regroups the
+    # window into few large shape-homogeneous dispatches.
+    n_passes = 5
+    t5 = time.time()
+    rows_out = []
+    for _ in range(n_passes):
+        rows_out = dix.query_batch(queries, scorer, top_k=top_k)
+    elapsed = time.time() - t5
+    assert len(rows_out) == n_queries
+    qps = n_passes * n_queries / elapsed
+    log(f"timed: {n_passes * n_queries} queries in {elapsed:.2f}s -> {qps:.0f} QPS")
+
+    # Recall sanity vs the exact f64 oracle on a few queries.
+    sample = queries[:5]
+    rows = dix.query_batch(sample, scorer, top_k=top_k)
+    hits = total = 0
+    for q, row in zip(sample, rows):
+        oracle = ix.query(q, bm25.new(), whitespace_tokenizer, [1.0])[:top_k]
+        o_keys = {r.key for r in oracle}
+        d_keys = {r.key for r in row}
+        hits += len(o_keys & d_keys)
+        total += len(o_keys)
+    recall = hits / max(total, 1)
+    log(f"recall@{top_k} vs oracle on {len(sample)} queries: {recall:.4f}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "bm25_query_qps_1M_docs",
+                "value": round(qps, 1),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / 100_000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

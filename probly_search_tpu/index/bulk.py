@@ -1,0 +1,153 @@
+"""Bulk (columnar) document ingestion.
+
+The reference indexes one document at a time by walking the trie per term
+occurrence (`/root/reference/src/index.rs:77-158`).  The TPU-native build is
+a batched pipeline (SURVEY §7): tokenize -> intern -> sort by (term, doc) ->
+segment-sum term frequencies -> CSR pack.  This module is the vectorized
+host implementation (NumPy); ops/build.py provides the on-device variant of
+the sort/pack stages.
+
+End-state equivalence with sequential ``add_document`` calls: field stats
+are overwritten per add (index.rs:112-114), so after N adds
+``sum = total tokens`` and ``avg = sum / n_docs`` — exactly what this bulk
+path computes.  Golden lifecycle behavior is therefore identical, which
+tests/test_bulk.py asserts directly against the sequential path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
+
+from ..models.base import DocumentDetails
+from .segment import Segment
+
+
+def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], tokenizer) -> None:
+    """Add many documents at once from columnar text.
+
+    Args:
+      index: the Index (mutated in place).
+      keys: document keys, one per doc; keys already present are removed
+        first (same semantics as ``add_document`` re-add).
+      field_texts: ``field_texts[f][d]`` is the text of field ``f`` for doc
+        ``d`` (one value per field, the common case).
+      tokenizer: the usual callable; empty tokens filtered (index.rs:100-110).
+    """
+    F = index._num_fields
+    n_new = len(keys)
+    if F and any(len(col) != n_new for col in field_texts):
+        raise ValueError("field_texts columns must match len(keys)")
+    if len(field_texts) != F:
+        raise ValueError(f"expected {F} field columns, got {len(field_texts)}")
+
+    if n_new == 0:
+        return
+    existing = [k for k in keys if k in index._key_to_slot]
+    for k in existing:
+        index.remove_document(k)
+
+    index._flush_pending()
+
+    # --- tokenize + per-field flat token/doc arrays -----------------------
+    per_field_tokens: List[List[str]] = []
+    per_field_docrep: List[np.ndarray] = []
+    field_len_cols: List[np.ndarray] = []
+    for f in range(F):
+        toks_per_doc = [[t for t in tokenizer(text) if t] for text in field_texts[f]]
+        lens = np.fromiter((len(ts) for ts in toks_per_doc), dtype=np.int64, count=n_new)
+        flat: List[str] = [t for ts in toks_per_doc for t in ts]
+        per_field_tokens.append(flat)
+        per_field_docrep.append(np.repeat(np.arange(n_new, dtype=np.int64), lens))
+        field_len_cols.append(lens)
+
+    field_length = (
+        np.stack(field_len_cols, axis=1) if F else np.zeros((n_new, 0), dtype=np.int64)
+    )
+
+    # --- allocate doc slots ----------------------------------------------
+    base_slot = index._next_slot
+    need = base_slot + n_new
+    if need > len(index._alive):
+        new_cap = max(need, len(index._alive) * 2)
+        doc_len = np.zeros((new_cap, F), dtype=np.int64)
+        doc_len[: len(index._doc_len)] = index._doc_len
+        alive = np.zeros(new_cap, dtype=bool)
+        alive[: len(index._alive)] = index._alive
+        index._doc_len = doc_len
+        index._alive = alive
+    slots = np.arange(base_slot, base_slot + n_new, dtype=np.int64)
+    index._doc_len[base_slot : base_slot + n_new] = field_length
+    index._alive[base_slot : base_slot + n_new] = True
+    index._next_slot = base_slot + n_new
+    index._slot_to_key.extend(keys)
+    for i, k in enumerate(keys):
+        index._key_to_slot[k] = base_slot + i
+        # field_length rows are views into the doc matrix (values are copied
+        # forward on growth, so views stay correct).
+        index._docs[k] = DocumentDetails(key=k, field_length=field_length[i])
+
+    # --- field stats (end-state of sequential bookkeeping) ----------------
+    n_docs_after = len(index._docs)
+    for f in range(F):
+        fd = index._fields[f]
+        fd.sum += int(field_len_cols[f].sum())
+        fd.avg = fd.sum / float(n_docs_after)
+
+    # --- intern terms globally + per-(term, doc, field) tf ----------------
+    all_tokens: List[str] = [t for flat in per_field_tokens for t in flat]
+    if not all_tokens:
+        index._version += 1
+        return
+    tok_arr = np.asarray(all_tokens)  # fixed-width unicode; C-speed sort
+    uniq, inv = np.unique(tok_arr, return_inverse=True)
+    T = len(uniq)
+
+    # Split the interned ids back per field and count (term, doc) pairs.
+    sizes = [len(flat) for flat in per_field_tokens]
+    splits = np.cumsum(sizes)[:-1]
+    inv_per_field = np.split(inv.astype(np.int64), splits)
+
+    pair_keys_parts = []
+    pair_field_parts = []
+    pair_tf_parts = []
+    for f in range(F):
+        if len(inv_per_field[f]) == 0:
+            continue
+        packed = inv_per_field[f] * n_new + per_field_docrep[f]
+        u, counts = np.unique(packed, return_counts=True)
+        pair_keys_parts.append(u)
+        pair_field_parts.append(np.full(len(u), f, dtype=np.int64))
+        pair_tf_parts.append(counts.astype(np.int32))
+
+    pair_keys = np.concatenate(pair_keys_parts)
+    pair_fields = np.concatenate(pair_field_parts)
+    pair_tf = np.concatenate(pair_tf_parts)
+
+    # Group across fields: one posting row per distinct (term, doc).
+    row_keys, row_idx = np.unique(pair_keys, return_inverse=True)
+    P = len(row_keys)
+    post_tf = np.zeros((P, F), dtype=np.int32)
+    post_tf[row_idx, pair_fields] = pair_tf
+    post_term = (row_keys // n_new).astype(np.int64)
+    post_doc = (slots[row_keys % n_new]).astype(np.int32)
+
+    # row_keys sorted => rows already ordered by (term, doc).
+    counts_per_term = np.bincount(post_term, minlength=T)
+    offsets = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(counts_per_term, out=offsets[1:])
+
+    terms = [str(t) for t in uniq]
+    seg = Segment(
+        terms=terms,
+        term_lens=np.fromiter(
+            (len(t.encode("utf-8")) for t in terms), dtype=np.int32, count=T
+        ),
+        offsets=offsets,
+        post_doc=post_doc,
+        post_tf=post_tf,
+        post_occ=post_tf.sum(axis=1, dtype=np.int32),
+    )
+    index._segments.append(seg)
+    index._version += 1

@@ -253,6 +253,19 @@ class Index:
         for key, doc in items:
             self.add_document(field_accessors, tokenizer, key, doc)
 
+    def add_documents_columnar(
+        self,
+        keys: Sequence[Any],
+        field_texts: Sequence[Sequence[str]],
+        tokenizer: Tokenizer = whitespace_tokenizer,
+    ) -> None:
+        """Bulk columnar ingestion — the batched build pipeline (see
+        index/bulk.py).  End-state identical to sequential ``add_document``
+        calls; orders of magnitude faster for large corpora."""
+        from .bulk import bulk_add
+
+        bulk_add(self, keys, field_texts, tokenizer)
+
     def remove_document(self, key: Any) -> None:
         """Latent removal (index.rs:161-191): flips the liveness bit and
         updates field stats; postings stay until ``vacuum``."""

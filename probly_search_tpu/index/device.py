@@ -2,40 +2,50 @@
 
 The reference answers one query at a time by walking trie nodes and posting
 linked lists (`/root/reference/src/query.rs:21-106`).  Here a **query batch**
-is the unit of work — the real source of QPS on a TPU — executed as one
-static-shaped XLA program:
+is the unit of work — the real source of QPS on a TPU — executed as few,
+large, shape-homogeneous XLA dispatches.  The execution model is built
+around three measured costs of TPU serving (esp. behind a high-latency
+tunnel): a fixed per-dispatch round trip, host->device bytes, and on-device
+sort width.  Consequences:
 
-  host planner (tokenize + binary-search prefix ranges, O(Q log T) per query)
-    -> jobs: (start, len, qterm, expansion_boost, df_group) per expansion
-  device:
-    ranges_to_lanes     — expand jobs into flat posting lanes (ops/lanes.py)
-    gather              — doc ids, tf vectors, liveness, field lengths
-    df + idf            — segment-sum of live occurrence counts per df-group
-                          (the device analogue of count_documents,
-                          index.rs:282-297, feeding bm25.rs:41-56)
-    scorer.device_score_lanes — fused per-lane scoring (vectorized
-                          ScoreCalculator::score, calculator.rs:58-66)
-    merge_scores_topk   — sorted segmented max/sum merge + lax.top_k
-                          (ops/merge.py; the max_score_merger rule)
+* Queries are planned on host into **job** descriptors only — 3 int32 words
+  per (query term expansion): start, len|qterm|group, boost-bits.  All
+  per-posting structure (chunking, lane expansion) is derived ON DEVICE, so
+  a 4096-query dispatch ships a few hundred KB, not tens of MB.
+* Jobs expand on device into fixed-size C-row **chunks**; every posting
+  gather is a contiguous ``dynamic_slice`` of the posting record array —
+  orders of magnitude faster on TPU than per-element gathers.
+* Queries are bucketed by chunk count into shape classes; each class packs
+  thousands of queries per dispatch to amortize the round trip.
 
-Data layout (structure-of-arrays in HBM):
-  post_doc  int32[P+1]     — posting doc slots (last row = dummy padding)
-  post_tf   int32[P+1, F]  — per-field term frequency
-  alive     bool[S+1]      — doc-slot liveness (latent deletion mask)
-  doc_len   f32[S+1, F]    — per-doc field lengths (DocumentDetails)
-  field_avg f32[F]         — average field lengths (FieldDetails.avg)
+Device step per dispatch:
+  unpack jobs -> chunk expansion (cumsum + searchsorted)
+  slice-gather [B, NC, C, R] posting records
+  df + idf        — segment-sum of live occurrence counts per df-group (the
+                    device analogue of count_documents, index.rs:282-297,
+                    feeding the BM25 clamp bm25.rs:41-56)
+  scorer.device_score_lanes — fused scoring (vectorized
+                    ScoreCalculator::score, calculator.rs:58-66)
+  merge_scores_topk — sorted segmented max/sum merge + lax.top_k
+                    (ops/merge.py; the max_score_merger rule)
 
-The term dictionary stays on the host (strings never cross to device); only
-(start, len) ranges do.  A query term's expansions may span several delta
-segments; jobs carrying the same expanded term share a **df group** so idf
-is computed over the term's full posting set.
+Posting record layout (int32[P + C, 1 + 2F], interleaved so one slice
+fetches everything):
+  rec[:, 0]        doc slot, or -1 if the doc was dead at snapshot time
+                   (liveness is baked in: the snapshot is rebuilt on any
+                   index mutation)
+  rec[:, 1:1+F]    per-field term frequency (DocumentPointer.term_frequency)
+  rec[:, 1+F:1+2F] per-field doc length, f32 bits (DocumentDetails)
+
+The term dictionary stays on the host (strings never cross to device).  A
+query term's expansions may span several delta segments; jobs carrying the
+same expanded term share a **df group** so idf is computed over the term's
+full posting set.
 """
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -43,20 +53,27 @@ import numpy as np
 from ..models.base import QueryResult
 from ..utils.tokenizers import whitespace_tokenizer
 
-# jax imported lazily so the host-only path works without it.
 import jax
 import jax.numpy as jnp
 
-from ..ops.lanes import ranges_to_lanes
 from ..ops.merge import INVALID_KEY, merge_scores_topk
+
+_MAX_CHAR = "\U0010FFFF"  # prefix upper-bound sentinel (terms containing it
+# would break the vectorized prefix range; practically nonexistent)
+
+# Job word1 layout: len(20) | qterm(4) | group(8).
+_LEN_BITS = 20
+_QT_BITS = 4
+_GROUP_BITS = 8
+_MAX_JOB_LEN = (1 << _LEN_BITS) - 1
+_MAX_GROUPS = (1 << _GROUP_BITS) - 1
 
 
 @dataclass
 class ScoreLanes:
     """Vectorized scoring context — the device analogue of the per-posting
     (DocumentPointer, DocumentDetails, FieldData, TermData) arguments of
-    ``ScoreCalculator::score`` (calculator.rs:58-66).  All arrays are
-    [..., L] or [..., L, F]."""
+    ``ScoreCalculator::score`` (calculator.rs:58-66)."""
 
     tf: Any  # f32[..., L, F] — per-field term frequency
     field_length: Any  # f32[..., L, F] — per-field doc lengths
@@ -71,62 +88,99 @@ class ScoreLanes:
 
 def _query_step_impl(
     scorer,
-    num_lanes: int,
+    chunk: int,
     k: int,
     qterm_bits: int,
-    post_doc,
-    post_tf,
-    alive,
-    doc_len,
+    num_fields: int,
+    num_chunks: int,
+    rec,
     field_avg,
     n_docs,
     fields_boost,
-    job_start,
-    job_len,
-    job_qterm,
-    job_boost,
-    job_group,
+    jobs_flat,
+    df_reduce=None,
 ):
-    """One batched query step.  [B, J] job arrays -> [B, k] results."""
-    B, J = job_start.shape
-    dummy_post = post_doc.shape[0] - 1
+    """One dispatch: ``jobs_flat`` int32[B * NJ * 3] -> top-k per query.
 
-    expand = jax.vmap(lambda s, l: ranges_to_lanes(s, l, num_lanes, dummy_post))
-    lane_post, lane_job, lane_valid = expand(job_start, job_len)  # [B, L]
+    ``df_reduce`` is an optional collective applied to the per-group df
+    (the sharded path psums partial dfs over the doc-shard mesh axis).
+    """
+    F = num_fields
+    C = chunk
+    NC = num_chunks
+    jobs = jobs_flat.reshape(-1, jobs_flat.shape[-1] // 3, 3)
+    B, NJ, _ = jobs.shape
+    L = NC * C
 
-    doc = post_doc[lane_post]  # [B, L]
-    tf = post_tf[lane_post].astype(jnp.float32)  # [B, L, F]
-    live = alive[doc] & lane_valid  # [B, L]
-    occ = tf.sum(-1)  # [B, L]
+    jstart = jobs[..., 0]  # [B, NJ]
+    w1 = jobs[..., 1]
+    jlen = w1 & _MAX_JOB_LEN
+    jqterm = (w1 >> _LEN_BITS) & ((1 << _QT_BITS) - 1)
+    jgroup = (w1 >> (_LEN_BITS + _QT_BITS)) & _MAX_GROUPS
+    jboost = jax.lax.bitcast_convert_type(jobs[..., 2], jnp.float32)
 
-    # df per df-group: live posting-pointer count = sum of occurrence counts
-    # (the reference's count_documents semantics, index.rs:282-297).
-    lane_group = jnp.take_along_axis(job_group, lane_job, axis=1)
-    w = jnp.where(live, occ, 0.0)
-    df = jax.vmap(lambda ww, gg: jax.ops.segment_sum(ww, gg, num_segments=J))(
-        w, lane_group
-    )  # [B, J]
+    # --- on-device chunk expansion ------------------------------------- #
+    njc = (jlen + (C - 1)) // C  # [B, NJ] chunks per job
+    cum = jnp.cumsum(njc, axis=1)
+    chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (B, NC), dimension=1)
+    chunk_job = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
+        cum, chunk_ids
+    ).astype(jnp.int32)
+    jc = jnp.minimum(chunk_job, NJ - 1)
+
+    def take(a):
+        return jnp.take_along_axis(a, jc, axis=1)
+
+    within = chunk_ids - (take(cum) - take(njc))  # chunk index within job
+    c_start = take(jstart) + within * C  # [B, NC]
+    c_len = jnp.clip(take(jlen) - within * C, 0, C)
+    c_valid = chunk_ids < cum[:, -1:]
+    c_len = jnp.where(c_valid, c_len, 0)
+    c_start = jnp.where(c_valid, c_start, 0)
+    c_qterm = take(jqterm)
+    c_group = take(jgroup)
+    c_boost = take(jboost)
+
+    # --- contiguous slice-gather [B, NC, C, R] -------------------------- #
+    def one(s):
+        return jax.lax.dynamic_slice(rec, (s, 0), (C, rec.shape[1]))
+
+    g = jax.vmap(jax.vmap(one))(c_start)
+
+    doc = g[..., 0]  # [B, NC, C]
+    tf = g[..., 1 : 1 + F].astype(jnp.float32)  # [B, NC, C, F]
+    flen = jax.lax.bitcast_convert_type(g[..., 1 + F : 1 + 2 * F], jnp.float32)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, NC, C), dimension=2)
+    live = (pos < c_len[..., None]) & (doc >= 0)
+    occ = tf.sum(-1)  # [B, NC, C]
+
+    # --- df per df-group (live pointer count, index.rs:282-297) --------- #
+    w = jnp.where(live, occ, 0.0).reshape(B, L)
+    gflat = jnp.broadcast_to(c_group[..., None], (B, NC, C)).reshape(B, L)
+    df = jax.vmap(lambda ww, gg: jax.ops.segment_sum(ww, gg, num_segments=NJ))(
+        w, gflat
+    )  # [B, NJ] (group ids < number of jobs)
+    if df_reduce is not None:
+        df = df_reduce(df)
     freq = jnp.minimum(n_docs, df)  # bm25.rs:41
     idf = jnp.log(1.0 + (n_docs - freq + 0.5) / (freq + 0.5))  # bm25.rs:56
-
-    lane_idf = jnp.take_along_axis(idf, lane_group, axis=1)
-    lane_boost = jnp.take_along_axis(job_boost, lane_job, axis=1)
-    lane_qterm = jnp.take_along_axis(job_qterm, lane_job, axis=1)
+    lane_idf = jnp.take_along_axis(idf, gflat, axis=1)
 
     lanes = ScoreLanes(
-        tf=tf,
-        field_length=doc_len[doc],
+        tf=tf.reshape(B, L, F),
+        field_length=flen.reshape(B, L, F),
         field_avg=field_avg,
         fields_boost=fields_boost,
         idf=lane_idf,
-        expansion_boost=lane_boost,
-        doc=doc,
-        live=live,
-        qterm=lane_qterm,
+        expansion_boost=jnp.broadcast_to(c_boost[..., None], (B, NC, C)).reshape(B, L),
+        doc=doc.reshape(B, L),
+        live=live.reshape(B, L),
+        qterm=jnp.broadcast_to(c_qterm[..., None], (B, NC, C)).reshape(B, L),
     )
     score = scorer.device_score_lanes(lanes)  # [B, L]
 
-    key = jnp.where(live, (doc << qterm_bits) | lane_qterm, INVALID_KEY)
+    key = jnp.where(lanes.live, (lanes.doc << qterm_bits) | lanes.qterm, INVALID_KEY)
     return merge_scores_topk(key, score, k, qterm_bits)
 
 
@@ -139,9 +193,11 @@ def _get_step(scorer) -> Any:
     key = key() if callable(key) else ("id", id(scorer))
     fn = _STEP_CACHE.get(key)
     if fn is None:
+        from functools import partial
+
         fn = jax.jit(
             partial(_query_step_impl, scorer),
-            static_argnames=("num_lanes", "k", "qterm_bits"),
+            static_argnames=("chunk", "k", "qterm_bits", "num_fields", "num_chunks"),
         )
         _STEP_CACHE[key] = fn
     return fn
@@ -152,12 +208,37 @@ def _bucket(n: int, buckets: Sequence[int], minimum: int) -> int:
     for b in buckets:
         if b >= n:
             return b
-    # Beyond configured buckets: next power of two (correctness first).
     return 1 << (n - 1).bit_length()
+
+
+def _segment_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - counts, counts)
+    return out
+
+
+@dataclass
+class PlannedJobs:
+    """Flat job table for a batch, sorted by query."""
+
+    jquery: np.ndarray  # int64[NJOBS]
+    words: np.ndarray  # int32[NJOBS, 3] — start, len|qterm|group, boost bits
+    nchunks: np.ndarray  # int64[B] — total chunks per query
+    njobs: np.ndarray  # int64[B]
 
 
 class DeviceIndex:
     """Device-resident snapshot of an Index at a given version."""
+
+    CHUNK = 512  # postings per chunk; contiguous 2-12KB DMA slices
+    LANES_PER_DISPATCH = 1 << 23  # ~8M lanes -> ~128MB gather per dispatch
+    NC_BUCKETS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+    NJ_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
 
     def __init__(self, index) -> None:
         index._flush_pending()
@@ -167,136 +248,226 @@ class DeviceIndex:
         F = index.num_fields
         self.num_fields = F
         self.segments = list(index._segments)
+        C = self.CHUNK
 
-        # Concatenate segment postings; host keeps per-segment bases for
-        # planning (term dictionaries remain host-side strings).
+        # --- host-side planning structures -------------------------------
+        self.seg_terms: List[np.ndarray] = []
+        self.seg_term_lens: List[np.ndarray] = []
+        self.seg_offsets: List[np.ndarray] = []
         self.seg_base: List[int] = []
-        doc_parts, tf_parts = [], []
         base = 0
+        doc_parts, tf_parts = [], []
         for seg in self.segments:
+            self.seg_terms.append(np.asarray(seg.terms, dtype=np.str_))
+            self.seg_term_lens.append(seg.term_lens)
+            self.seg_offsets.append(seg.offsets)
             self.seg_base.append(base)
             doc_parts.append(seg.post_doc)
             tf_parts.append(seg.post_tf)
             base += seg.num_postings
         self.num_postings = base
 
+        # --- posting record array ----------------------------------------
         S = index._next_slot
         self.num_slots = S
-        dummy_doc = np.array([S], dtype=np.int32)
-        post_doc = np.concatenate(doc_parts + [dummy_doc]) if doc_parts else dummy_doc
-        post_tf = np.concatenate(
-            tf_parts + [np.zeros((1, F), np.int32)]
-        ) if tf_parts else np.zeros((1, F), np.int32)
-
-        alive = np.zeros(S + 1, dtype=bool)
-        alive[:S] = index._alive[:S]
-        doc_len = np.ones((S + 1, F), dtype=np.float32)
-        doc_len[:S] = index._doc_len[:S]
-
-        self.post_doc = jnp.asarray(post_doc)
-        self.post_tf = jnp.asarray(post_tf)
-        self.alive = jnp.asarray(alive)
-        self.doc_len = jnp.asarray(doc_len)
+        P = self.num_postings
+        R = 1 + 2 * F
+        rec = np.empty((P + C, R), dtype=np.int32)
+        rec[:, 0] = -1
+        if P:
+            post_doc = np.concatenate(doc_parts)
+            post_tf = np.concatenate(tf_parts)
+            alive = index._alive[:S]
+            doc_len = index._doc_len[:S].astype(np.float32)
+            rec[:P, 0] = np.where(alive[post_doc], post_doc, -1)
+            rec[:P, 1 : 1 + F] = post_tf
+            rec[:P, 1 + F :] = doc_len[post_doc].view(np.int32)
+        self.rec = jnp.asarray(rec)
         self.field_avg = jnp.asarray(
             np.array([fd.avg for fd in index._fields], dtype=np.float32)
         )
         self.n_docs = float(len(index._docs))
         self.slot_to_key = list(index._slot_to_key)
 
-        self._qterm_bits = max(1, (max(1, self.config.max_query_terms) - 1).bit_length())
+        self._qterm_bits = _QT_BITS
+        if self.config.max_query_terms > (1 << _QT_BITS):
+            raise ValueError(
+                f"max_query_terms > {1 << _QT_BITS} unsupported on the device "
+                f"path (packed job words); use the host path"
+            )
         if S >= (1 << (31 - self._qterm_bits)):
             raise ValueError(
                 f"doc slots ({S}) exceed the packed int32 merge-key capacity; "
-                f"shard the index over more devices (parallel/) or reduce "
-                f"max_query_terms"
+                f"shard the index over more devices (parallel/)"
             )
 
     # ------------------------------------------------------------------ #
-    # planning (host)                                                     #
+    # planning (host, vectorized)                                         #
     # ------------------------------------------------------------------ #
 
-    def plan(
-        self, queries: Sequence[str], tokenizer
-    ) -> Optional[Tuple[Dict[str, np.ndarray], int, int]]:
-        """Plan a query batch into padded [B, J] job arrays + lane width L."""
+    def plan_batch(self, queries: Sequence[str], tokenizer) -> Optional[PlannedJobs]:
+        """Plan a batch into a flat job table (all-numpy, no per-term loop)."""
         cfg = self.config
         B = len(queries)
-        per_query_jobs: List[List[Tuple[int, int, int, float, int]]] = []
-        max_jobs = 1
-        max_lanes = 1
-        for q in queries:
-            tokens = list(tokenizer(q))
-            jobs: List[Tuple[int, int, int, float, int]] = []
-            group_count = 0
-            dense_qidx = -1
-            for term in tokens:
-                if not term:
-                    continue
-                dense_qidx += 1
-                if dense_qidx >= cfg.max_query_terms:
-                    raise ValueError(
-                        f"query has more than max_query_terms="
-                        f"{cfg.max_query_terms} terms; raise the config knob"
-                    )
-                qlen = len(term.encode("utf-8"))
-                # Union of expansions across segments, keyed by term string
-                # so split postings share a df group.
-                by_term: Dict[str, List[Tuple[int, int]]] = {}
-                for si, seg in enumerate(self.segments):
-                    lo, hi = seg.prefix_range(term)
-                    for tid in range(lo, hi):
-                        by_term.setdefault(seg.terms[tid], []).append((si, tid))
-                if len(by_term) > cfg.max_expansions:
-                    raise ValueError(
-                        f"query term {term!r} expands to {len(by_term)} terms "
-                        f"(> max_expansions={cfg.max_expansions}); raise the "
-                        f"knob or use the exact host path"
-                    )
-                for exp_term, hits in by_term.items():
-                    if exp_term == term:
-                        boost = 1.0
-                    else:
-                        elen = len(exp_term.encode("utf-8"))
-                        boost = math.log(1.0 + (1.0 / (1.0 + elen - qlen)))
-                    gid = group_count
-                    group_count += 1
-                    for si, tid in hits:
-                        seg = self.segments[si]
-                        start = self.seg_base[si] + int(seg.offsets[tid])
-                        length = int(seg.offsets[tid + 1] - seg.offsets[tid])
-                        if length:
-                            jobs.append((start, length, dense_qidx, boost, gid))
-            per_query_jobs.append(jobs)
-            max_jobs = max(max_jobs, len(jobs))
-            max_lanes = max(max_lanes, sum(j[1] for j in jobs))
 
-        J = _bucket(max_jobs, (8, 32, 128, 512, 2048), 8)
-        L = _bucket(max_lanes, cfg.lane_buckets, 128)
+        tok_lists = [[t for t in tokenizer(q) if t] for q in queries]
+        for toks in tok_lists:
+            if len(toks) > cfg.max_query_terms:
+                raise ValueError(
+                    f"query has {len(toks)} terms > max_query_terms="
+                    f"{cfg.max_query_terms}; raise the config knob"
+                )
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        total_terms = int(counts.sum())
+        if total_terms == 0 or self.num_postings == 0:
+            return None
+        flat_query = np.repeat(np.arange(B, dtype=np.int64), counts)
+        flat_qterm = _segment_arange(counts).astype(np.int64)
+        flat_terms = np.asarray([t for toks in tok_lists for t in toks], dtype=np.str_)
+        flat_upper = np.char.add(flat_terms, _MAX_CHAR)
+        flat_blen = np.char.str_len(np.char.encode(flat_terms, "utf-8")).astype(np.int64)
 
-        job_start = np.zeros((B, J), dtype=np.int32)
-        job_len = np.zeros((B, J), dtype=np.int32)
-        job_qterm = np.zeros((B, J), dtype=np.int32)
-        job_boost = np.zeros((B, J), dtype=np.float32)
-        # Padding jobs point at their own (empty) df group.
-        job_group = np.tile(np.arange(J, dtype=np.int32), (B, 1))
-        for b, jobs in enumerate(per_query_jobs):
-            for j, (start, length, qidx, boost, gid) in enumerate(jobs):
-                job_start[b, j] = start
-                job_len[b, j] = length
-                job_qterm[b, j] = qidx
-                job_boost[b, j] = boost
-                job_group[b, j] = gid
-        return (
-            dict(
-                job_start=job_start,
-                job_len=job_len,
-                job_qterm=job_qterm,
-                job_boost=job_boost,
-                job_group=job_group,
-            ),
-            J,
-            L,
+        # Per segment: prefix ranges -> candidate jobs.
+        job_parts = []
+        for si in range(len(self.segments)):
+            terms = self.seg_terms[si]
+            if len(terms) == 0:
+                continue
+            lo = np.searchsorted(terms, flat_terms, side="left")
+            hi = np.searchsorted(terms, flat_upper, side="left")
+            nexp = hi - lo
+            if nexp.max(initial=0) == 0:
+                continue
+            tid = np.repeat(lo, nexp) + _segment_arange(nexp)
+            jidx = np.repeat(np.arange(total_terms, dtype=np.int64), nexp)
+            offs = self.seg_offsets[si]
+            start = (self.seg_base[si] + offs[tid]).astype(np.int64)
+            length = (offs[tid + 1] - offs[tid]).astype(np.int64)
+            job_parts.append(
+                (jidx, start, length, terms[tid], self.seg_term_lens[si][tid].astype(np.int64))
+            )
+        if not job_parts:
+            return None
+        jidx = np.concatenate([p[0] for p in job_parts])
+        jstart = np.concatenate([p[1] for p in job_parts])
+        jlen = np.concatenate([p[2] for p in job_parts])
+        jexp = np.concatenate([p[3] for p in job_parts])
+        jblen = np.concatenate([p[4] for p in job_parts])
+
+        keep = jlen > 0
+        jidx, jstart, jlen, jexp, jblen = (
+            jidx[keep], jstart[keep], jlen[keep], jexp[keep], jblen[keep]
         )
+        if len(jidx) == 0:
+            return None
+
+        # df groups: unify jobs of the same (query term, expanded term)
+        # across segments (sort by term idx + expansion string; run
+        # boundaries give group ids).
+        order = np.lexsort((jexp, jidx))
+        jidx, jstart, jlen, jexp, jblen = (
+            jidx[order], jstart[order], jlen[order], jexp[order], jblen[order]
+        )
+        new_group = np.ones(len(jidx), dtype=bool)
+        new_group[1:] = (jidx[1:] != jidx[:-1]) | (jexp[1:] != jexp[:-1])
+        group_global = np.cumsum(new_group) - 1
+
+        per_term_groups = np.bincount(jidx[new_group], minlength=total_terms)
+        if per_term_groups.max(initial=0) > cfg.max_expansions:
+            bad = int(np.argmax(per_term_groups))
+            raise ValueError(
+                f"query term {flat_terms[bad]!r} expands to "
+                f"{int(per_term_groups[bad])} terms (> max_expansions="
+                f"{cfg.max_expansions}); raise the knob or use the host path"
+            )
+
+        # Expansion boost (bm25.rs:44-55; byte lengths).
+        exact = jexp == flat_terms[jidx]
+        boost = np.where(
+            exact, 1.0, np.log1p(1.0 / (1.0 + jblen - flat_blen[jidx]))
+        ).astype(np.float32)
+
+        # Per-query-local group ids.  Groups are query-sorted, so local id =
+        # global id - first group id of the query.
+        jquery = flat_query[jidx]
+        group_query = jquery[new_group]
+        qstart = np.zeros(B + 1, dtype=np.int64)
+        np.add.at(qstart, group_query + 1, 1)
+        qstart = np.cumsum(qstart)
+        group_local = group_global - qstart[jquery]
+        if group_local.max(initial=0) > _MAX_GROUPS:
+            raise ValueError(
+                f"a query needs {int(group_local.max()) + 1} df groups "
+                f"(> {_MAX_GROUPS + 1}); reduce query terms or expansions"
+            )
+
+        # Split jobs longer than the packed-length capacity (same group, so
+        # df/idf and scores are unchanged).
+        if jlen.max(initial=0) > _MAX_JOB_LEN:
+            nsplit = (jlen + _MAX_JOB_LEN - 1) // _MAX_JOB_LEN
+            si_ = _segment_arange(nsplit)
+            sj = np.repeat(np.arange(len(jidx), dtype=np.int64), nsplit)
+            jstart = jstart[sj] + si_ * _MAX_JOB_LEN
+            jlen = np.minimum(jlen[sj] - si_ * _MAX_JOB_LEN, _MAX_JOB_LEN)
+            jquery = jquery[sj]
+            jqterm_src = flat_qterm[jidx][sj]
+            group_local = group_local[sj]
+            boost = boost[sj]
+        else:
+            jqterm_src = flat_qterm[jidx]
+
+        words = np.empty((len(jstart), 3), dtype=np.int32)
+        words[:, 0] = jstart
+        words[:, 1] = (
+            jlen | (jqterm_src << _LEN_BITS) | (group_local << (_LEN_BITS + _QT_BITS))
+        )
+        words[:, 2] = boost.view(np.int32)
+
+        C = self.CHUNK
+        job_chunks = (jlen + C - 1) // C
+        nchunks = np.bincount(jquery, weights=job_chunks.astype(np.float64), minlength=B)
+        njobs = np.bincount(jquery, minlength=B)
+        return PlannedJobs(
+            jquery=jquery,
+            words=words,
+            nchunks=nchunks.astype(np.int64),
+            njobs=njobs.astype(np.int64),
+        )
+
+    def pack_dispatches(self, n_queries: int, plan: PlannedJobs):
+        """Bucket queries into shape classes and pack dispatch job tables.
+
+        Returns a list of (query_indices, jobs_flat int32[B*NJ*3], NC, NJ).
+        Each dispatch is capped at LANES_PER_DISPATCH lanes.
+        """
+        C = self.CHUNK
+        nc_bucket = np.array(
+            [_bucket(int(c), self.NC_BUCKETS, 4) for c in plan.nchunks], dtype=np.int64
+        )
+        out = []
+        for nc in np.unique(nc_bucket):
+            nc = int(nc)
+            members = np.flatnonzero(nc_bucket == nc)
+            # Queries with zero jobs plan out entirely; skip them (their
+            # results are empty).
+            members = members[plan.njobs[members] > 0]
+            if len(members) == 0:
+                continue
+            nj = _bucket(int(plan.njobs[members].max()), self.NJ_BUCKETS, 4)
+            b_cap = max(8, int(self.LANES_PER_DISPATCH // (nc * C)))
+            for s in range(0, len(members), b_cap):
+                idxs = members[s : s + b_cap]
+                B = len(idxs)
+                B_pad = max(8, 1 << (B - 1).bit_length())
+                jobs_flat = np.zeros((B_pad, nj, 3), dtype=np.int32)
+                sel = np.isin(plan.jquery, idxs)
+                jq = plan.jquery[sel]
+                jw = plan.words[sel]
+                pos = _segment_arange(np.bincount(jq, minlength=n_queries)[idxs])
+                row = np.searchsorted(idxs, jq)
+                jobs_flat[row, pos] = jw
+                out.append((idxs, jobs_flat.reshape(B_pad, nj * 3), nc, nj))
+        return out
 
     # ------------------------------------------------------------------ #
     # execution                                                           #
@@ -310,26 +481,50 @@ class DeviceIndex:
         fields_boost: Optional[Sequence[float]] = None,
         top_k: Optional[int] = None,
     ) -> List[List[QueryResult]]:
+        """Execute a query batch (blocking convenience over the async path)."""
+        return self.query_batch_async(queries, scorer, tokenizer, fields_boost, top_k).get()
+
+    def query_batch_async(
+        self,
+        queries: Sequence[str],
+        scorer,
+        tokenizer=whitespace_tokenizer,
+        fields_boost: Optional[Sequence[float]] = None,
+        top_k: Optional[int] = None,
+    ) -> "PendingBatch":
+        """Plan, transfer and dispatch a query batch without blocking.
+
+        Submit the largest windows you can: per-dispatch overhead dominates
+        on tunneled devices, and queries regroup into shape classes across
+        the whole window (posting lists are power-law skewed — one heavy
+        query must not pad out thousands of light ones; SURVEY §7 hard
+        part 3).
+        """
         if fields_boost is None:
             fields_boost = [1.0] * self.num_fields
         k = top_k or self.config.default_top_k
-        jobs, J, L = self.plan(queries, tokenizer)
-        k_eff = min(k, L)
+        plan = self.plan_batch(queries, tokenizer)
+        if plan is None:
+            return PendingBatch(self, len(queries), [])
+        dispatches = self.pack_dispatches(len(queries), plan)
         step = _get_step(scorer)
-        top_scores, top_docs = step(
-            post_doc=self.post_doc,
-            post_tf=self.post_tf,
-            alive=self.alive,
-            doc_len=self.doc_len,
-            field_avg=self.field_avg,
-            n_docs=jnp.float32(self.n_docs),
-            fields_boost=jnp.asarray(np.asarray(fields_boost, dtype=np.float32)),
-            num_lanes=L,
-            k=k_eff,
-            qterm_bits=self._qterm_bits,
-            **{name: jnp.asarray(arr) for name, arr in jobs.items()},
-        )
-        return self.to_results(np.asarray(top_scores), np.asarray(top_docs))
+        boost_arr = jnp.asarray(np.asarray(fields_boost, dtype=np.float32))
+        parts = []
+        for idxs, jobs_flat, nc, nj in dispatches:
+            top_scores, top_docs = step(
+                chunk=self.CHUNK,
+                k=min(k, nc * self.CHUNK),
+                qterm_bits=self._qterm_bits,
+                num_fields=self.num_fields,
+                num_chunks=nc,
+                rec=self.rec,
+                field_avg=self.field_avg,
+                n_docs=jnp.float32(self.n_docs),
+                fields_boost=boost_arr,
+                jobs_flat=jnp.asarray(jobs_flat),
+            )
+            parts.append((idxs, top_scores, top_docs))
+        return PendingBatch(self, len(queries), parts)
 
     def to_results(self, top_scores: np.ndarray, top_docs: np.ndarray):
         out: List[List[QueryResult]] = []
@@ -341,3 +536,22 @@ class DeviceIndex:
             ]
             out.append(row)
         return out
+
+
+class PendingBatch:
+    """Handle for an in-flight query batch; ``.get()`` blocks and assembles."""
+
+    def __init__(self, dix: "DeviceIndex", n: int, parts) -> None:
+        self._dix = dix
+        self._n = n
+        self._parts = parts
+
+    def get(self) -> List[List[QueryResult]]:
+        results: List[List[QueryResult]] = [[] for _ in range(self._n)]
+        for idxs, top_scores, top_docs in self._parts:
+            rows = self._dix.to_results(
+                np.asarray(top_scores)[: len(idxs)], np.asarray(top_docs)[: len(idxs)]
+            )
+            for i, row in zip(idxs, rows):
+                results[int(i)] = row
+        return results

@@ -17,3 +17,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: shape-bucketed dispatch variants compile once
+# across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/psearch_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

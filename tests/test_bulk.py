@@ -1,0 +1,89 @@
+"""Bulk columnar ingestion must be observably identical to sequential
+``add_document`` calls (end state): same terms, postings, field stats, and
+query results for both scorers."""
+
+import random
+
+import numpy as np
+
+from probly_search_tpu import Index, bm25, zero_to_one
+from .util import Doc, title_extract, text_extract, tokenizer
+
+
+def _rand_corpus(n, seed=0, fields=1):
+    rng = random.Random(seed)
+    vocab = ["".join(rng.choice("abcdef") for _ in range(rng.randint(1, 4))) for _ in range(50)]
+    cols = [
+        [" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6))) for _ in range(n)]
+        for _ in range(fields)
+    ]
+    return cols
+
+
+def _sequential_index(cols):
+    F = len(cols)
+    ix = Index(F)
+    accessors = [
+        (lambda f: (lambda d: [d[f]]))(f) for f in range(F)
+    ]
+    for i in range(len(cols[0])):
+        ix.add_document(accessors, tokenizer, i, [cols[f][i] for f in range(F)])
+    return ix
+
+
+def _bulk_index(cols):
+    F = len(cols)
+    ix = Index(F)
+    ix.add_documents_columnar(list(range(len(cols[0]))), cols)
+    return ix
+
+
+def _assert_same(a: Index, b: Index, queries):
+    assert a.terms() == b.terms()
+    for t in a.terms():
+        assert a.document_frequency(t) == b.document_frequency(t), t
+    for f in range(a.num_fields):
+        assert a.fields[f].sum == b.fields[f].sum
+        assert abs(a.fields[f].avg - b.fields[f].avg) < 1e-12
+    for q in queries:
+        for scorer_mod in (bm25, zero_to_one):
+            ra = a.query(q, scorer_mod.new(), tokenizer, [1.0] * a.num_fields)
+            rb = b.query(q, scorer_mod.new(), tokenizer, [1.0] * b.num_fields)
+            assert [(r.key, r.score) for r in ra] == [(r.key, r.score) for r in rb], q
+
+
+def test_bulk_matches_sequential_single_field():
+    cols = _rand_corpus(120, seed=3)
+    _assert_same(_sequential_index(cols), _bulk_index(cols), ["a", "ab", "abc", "b c", "f"])
+
+
+def test_bulk_matches_sequential_two_fields():
+    cols = _rand_corpus(80, seed=7, fields=2)
+    _assert_same(_sequential_index(cols), _bulk_index(cols), ["a", "b", "c d", "e"])
+
+
+def test_bulk_into_existing_index_and_lifecycle():
+    cols = _rand_corpus(50, seed=11)
+    ix = _bulk_index(cols)
+    # Mix in sequential ops after a bulk load.
+    ix.add_document([lambda d: [d]], tokenizer, 1000, "zz zy")
+    ix.remove_document(3)
+    r = ix.query("zz", bm25.new(), tokenizer, [1.0])
+    assert r and r[0].key == 1000
+    ix.vacuum()
+    assert 3 not in ix.docs
+    # Bulk re-add of an existing key replaces it.
+    ix.add_documents_columnar([1000], [["qq"]])
+    assert ix.document_frequency("zz") == 0
+    assert ix.document_frequency("qq") == 1
+
+
+def test_bulk_empty_docs_and_empty_batch():
+    ix = Index(1)
+    ix.add_documents_columnar([], [[]])
+    assert len(ix.docs) == 0
+    ix.add_documents_columnar([0, 1], [["", "a a  b"]])
+    assert len(ix.docs) == 2
+    assert list(ix.docs[0].field_length) == [0]
+    assert list(ix.docs[1].field_length) == [3]
+    assert ix.document_frequency("a") == 2

@@ -1,0 +1,81 @@
+"""Multi-chip doc-sharded query path on a virtual 8-device CPU mesh.
+
+Validates that the sharded SPMD program (psum'd dfs, all-gathered top-k)
+returns exactly what the single-device device path and the f64 host oracle
+return.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from probly_search_tpu import Index, bm25
+from probly_search_tpu.parallel import ShardedDeviceIndex, make_mesh
+from .util import Doc, build_test_index, title_extract, tokenizer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _corpus_index(n=300, seed=5):
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 5))) for _ in range(150)]
+    ix = Index(1)
+    for i in range(n):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
+        ix.add_document([title_extract], tokenizer, i, Doc(id=i, title=text))
+    queries = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3))) for _ in range(17)]
+    queries += [rng.choice(vocab)[:2] for _ in range(5)]
+    return ix, queries
+
+
+def _assert_rows_match(sharded_rows, oracle_rows, k):
+    for sh, orc in zip(sharded_rows, oracle_rows):
+        orc = orc[:k]
+        assert len(sh) == len(orc)
+        sh_scores = {r.key: r.score for r in sh}
+        for r in orc:
+            assert r.key in sh_scores or any(
+                abs(r.score - o.score) < 1e-5 for o in orc
+            ), (sh, orc)
+        for a, b in zip(sh, sh[1:]):
+            assert a.score >= b.score - 1e-6
+
+
+@pytest.mark.parametrize("data,docs", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_matches_oracle(data, docs):
+    ix, queries = _corpus_index()
+    mesh = make_mesh(data=data, docs=docs)
+    sdix = ShardedDeviceIndex(ix, mesh)
+    rows = sdix.query_batch(queries, bm25.new(), top_k=10)
+    oracle = [ix.query(q, bm25.new(), tokenizer, [1.0]) for q in queries]
+    _assert_rows_match(rows, oracle, 10)
+    # score closeness per doc
+    for sh, orc in zip(rows, oracle):
+        om = {r.key: r.score for r in orc}
+        for r in sh:
+            np.testing.assert_allclose(r.score, om[r.key], rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_with_deletes():
+    ix, queries = _corpus_index(n=120, seed=9)
+    for i in range(20, 45):
+        ix.remove_document(i)
+    mesh = make_mesh(data=2, docs=4)
+    sdix = ShardedDeviceIndex(ix, mesh)
+    rows = sdix.query_batch(queries[:8], bm25.new(), top_k=10)
+    oracle = [ix.query(q, bm25.new(), tokenizer, [1.0]) for q in queries[:8]]
+    _assert_rows_match(rows, oracle, 10)
+
+
+def test_sharded_empty_and_nomatch():
+    ix = build_test_index(["abc def", "ghi"])
+    mesh = make_mesh(data=1, docs=8)
+    sdix = ShardedDeviceIndex(ix, mesh)
+    rows = sdix.query_batch(["", "zzz", "abc"], bm25.new(), top_k=5)
+    assert rows[0] == [] and rows[1] == []
+    assert len(rows[2]) == 1 and rows[2][0].key == 0

@@ -50,17 +50,38 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
 
     index._flush_pending()
 
-    # --- tokenize + per-field flat token/doc arrays -----------------------
-    per_field_tokens: List[List[str]] = []
+    # --- tokenize + intern per field --------------------------------------
+    # Native fast path (C++ tokenizer + interner, native/psearch_native.cpp)
+    # applies only to the default whitespace tokenizer; any user-pluggable
+    # tokenizer takes the Python path (mirroring the reference's fn-pointer
+    # tokenizer extension point, lib.rs:14).
+    from ..utils.tokenizers import whitespace_tokenizer as _default_tok
+
+    use_native = tokenizer is _default_tok
+    if use_native:
+        from ..native import tokenize_index_native
+    per_field_occ: List[np.ndarray] = []  # field-local sorted-table ids per occurrence
+    per_field_table: List[np.ndarray] = []  # field-local sorted term tables
     per_field_docrep: List[np.ndarray] = []
     field_len_cols: List[np.ndarray] = []
     for f in range(F):
-        toks_per_doc = [[t for t in tokenizer(text) if t] for text in field_texts[f]]
-        lens = np.fromiter((len(ts) for ts in toks_per_doc), dtype=np.int64, count=n_new)
-        flat: List[str] = [t for ts in toks_per_doc for t in ts]
-        per_field_tokens.append(flat)
+        native_out = tokenize_index_native(list(field_texts[f])) if use_native else None
+        if native_out is not None:
+            occ_ids, lens, terms_f, _term_lens = native_out
+            table = np.asarray(terms_f, dtype=np.str_) if terms_f else np.zeros(0, np.str_)
+        else:
+            toks_per_doc = [[t for t in tokenizer(text) if t] for text in field_texts[f]]
+            lens = np.fromiter((len(ts) for ts in toks_per_doc), dtype=np.int64, count=n_new)
+            flat = [t for ts in toks_per_doc for t in ts]
+            if flat:
+                table, occ_ids = np.unique(np.asarray(flat), return_inverse=True)
+            else:
+                table = np.zeros(0, np.str_)
+                occ_ids = np.zeros(0, np.int64)
+        per_field_occ.append(np.asarray(occ_ids, dtype=np.int64))
+        per_field_table.append(table)
         per_field_docrep.append(np.repeat(np.arange(n_new, dtype=np.int64), lens))
-        field_len_cols.append(lens)
+        field_len_cols.append(np.asarray(lens, dtype=np.int64))
 
     field_length = (
         np.stack(field_len_cols, axis=1) if F else np.zeros((n_new, 0), dtype=np.int64)
@@ -95,27 +116,34 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
         fd.sum += int(field_len_cols[f].sum())
         fd.avg = fd.sum / float(n_docs_after)
 
-    # --- intern terms globally + per-(term, doc, field) tf ----------------
-    all_tokens: List[str] = [t for flat in per_field_tokens for t in flat]
-    if not all_tokens:
+    # --- merge field-local term tables into one global sorted table -------
+    if sum(len(o) for o in per_field_occ) == 0:
         index._version += 1
         return
-    tok_arr = np.asarray(all_tokens)  # fixed-width unicode; C-speed sort
-    uniq, inv = np.unique(tok_arr, return_inverse=True)
+    if F == 1:
+        uniq = per_field_table[0]
+        table_maps = [np.arange(len(uniq), dtype=np.int64)]
+    else:
+        cat = np.concatenate([t for t in per_field_table]) if any(
+            len(t) for t in per_field_table
+        ) else np.zeros(0, np.str_)
+        uniq, inv_tables = np.unique(cat, return_inverse=True)
+        table_maps = []
+        pos = 0
+        for t in per_field_table:
+            table_maps.append(inv_tables[pos : pos + len(t)].astype(np.int64))
+            pos += len(t)
     T = len(uniq)
 
-    # Split the interned ids back per field and count (term, doc) pairs.
-    sizes = [len(flat) for flat in per_field_tokens]
-    splits = np.cumsum(sizes)[:-1]
-    inv_per_field = np.split(inv.astype(np.int64), splits)
-
+    # --- count (term, doc) pairs per field --------------------------------
     pair_keys_parts = []
     pair_field_parts = []
     pair_tf_parts = []
     for f in range(F):
-        if len(inv_per_field[f]) == 0:
+        if len(per_field_occ[f]) == 0:
             continue
-        packed = inv_per_field[f] * n_new + per_field_docrep[f]
+        gids = table_maps[f][per_field_occ[f]]
+        packed = gids * n_new + per_field_docrep[f]
         u, counts = np.unique(packed, return_counts=True)
         pair_keys_parts.append(u)
         pair_field_parts.append(np.full(len(u), f, dtype=np.int64))

@@ -73,17 +73,23 @@ _MAX_GROUPS = (1 << _GROUP_BITS) - 1
 class ScoreLanes:
     """Vectorized scoring context — the device analogue of the per-posting
     (DocumentPointer, DocumentDetails, FieldData, TermData) arguments of
-    ``ScoreCalculator::score`` (calculator.rs:58-66)."""
+    ``ScoreCalculator::score`` (calculator.rs:58-66).
 
-    tf: Any  # f32[..., L, F] — per-field term frequency
-    field_length: Any  # f32[..., L, F] — per-field doc lengths
+    LAYOUT: the posting lane dimension C (the chunk width, a multiple of the
+    TPU's 128-lane registers) is always the MINOR axis; the field dimension
+    F sits in front of it.  A naive [..., lanes, F] layout pads the F-sized
+    minor axis to 128 lanes and multiplies memory traffic ~128/F times.
+    """
+
+    tf: Any  # f32[B, NC, F, C] — per-field term frequency
+    field_length: Any  # f32[B, NC, F, C] — per-field doc lengths
     field_avg: Any  # f32[F] — average field lengths
     fields_boost: Any  # f32[F]
-    idf: Any  # f32[..., L] — per-lane idf (df-clamped, bm25.rs:41-56)
-    expansion_boost: Any  # f32[..., L]
-    doc: Any  # int32[..., L] — doc slot
-    live: Any  # bool[..., L] — posting is live and in-bounds
-    qterm: Any  # int32[..., L] — dense query-term index
+    idf: Any  # f32[B, NC] — per-chunk idf (df-clamped, bm25.rs:41-56)
+    expansion_boost: Any  # f32[B, NC]
+    doc: Any  # int32[B, NC, C] — doc slot
+    live: Any  # bool[B, NC, C] — posting is live and in-bounds
+    qterm: Any  # int32[B, NC] — dense query-term index per chunk
 
 
 def _query_step_impl(
@@ -102,6 +108,8 @@ def _query_step_impl(
 ):
     """One dispatch: ``jobs_flat`` int32[B * NJ * 3] -> top-k per query.
 
+    ``rec`` is the TRANSPOSED posting record array int32[R, P + C] so every
+    chunk gather is a [R, C] slice with the lane dimension minor.
     ``df_reduce`` is an optional collective applied to the per-group df
     (the sharded path psums partial dfs over the doc-shard mesh axis).
     """
@@ -119,7 +127,7 @@ def _query_step_impl(
     jgroup = (w1 >> (_LEN_BITS + _QT_BITS)) & _MAX_GROUPS
     jboost = jax.lax.bitcast_convert_type(jobs[..., 2], jnp.float32)
 
-    # --- on-device chunk expansion ------------------------------------- #
+    # --- on-device chunk expansion (all [B, NC]-small) ------------------ #
     njc = (jlen + (C - 1)) // C  # [B, NJ] chunks per job
     cum = jnp.cumsum(njc, axis=1)
     chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (B, NC), dimension=1)
@@ -141,47 +149,52 @@ def _query_step_impl(
     c_group = take(jgroup)
     c_boost = take(jboost)
 
-    # --- contiguous slice-gather [B, NC, C, R] -------------------------- #
+    # --- contiguous slice-gather [B, NC, R, C] -------------------------- #
+    R = rec.shape[0]
+
     def one(s):
-        return jax.lax.dynamic_slice(rec, (s, 0), (C, rec.shape[1]))
+        return jax.lax.dynamic_slice(rec, (0, s), (R, C))
 
     g = jax.vmap(jax.vmap(one))(c_start)
 
-    doc = g[..., 0]  # [B, NC, C]
-    tf = g[..., 1 : 1 + F].astype(jnp.float32)  # [B, NC, C, F]
-    flen = jax.lax.bitcast_convert_type(g[..., 1 + F : 1 + 2 * F], jnp.float32)
+    doc = g[:, :, 0, :]  # [B, NC, C]
+    tf = g[:, :, 1 : 1 + F, :].astype(jnp.float32)  # [B, NC, F, C]
+    flen = jax.lax.bitcast_convert_type(g[:, :, 1 + F : 1 + 2 * F, :], jnp.float32)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, NC, C), dimension=2)
     live = (pos < c_len[..., None]) & (doc >= 0)
-    occ = tf.sum(-1)  # [B, NC, C]
+    occ = tf.sum(2)  # [B, NC, C]
 
     # --- df per df-group (live pointer count, index.rs:282-297) --------- #
-    w = jnp.where(live, occ, 0.0).reshape(B, L)
-    gflat = jnp.broadcast_to(c_group[..., None], (B, NC, C)).reshape(B, L)
-    df = jax.vmap(lambda ww, gg: jax.ops.segment_sum(ww, gg, num_segments=NJ))(
-        w, gflat
-    )  # [B, NJ] (group ids < number of jobs)
+    # Per-chunk partial sums then a tiny one-hot contraction — no scatter.
+    w_chunk = jnp.where(live, occ, 0.0).sum(-1)  # [B, NC]
+    onehot = (c_group[..., None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, NJ), 2)).astype(
+        jnp.float32
+    )  # [B, NC, NJ]
+    df = jnp.einsum("bn,bnj->bj", w_chunk, onehot)  # [B, NJ]
     if df_reduce is not None:
         df = df_reduce(df)
     freq = jnp.minimum(n_docs, df)  # bm25.rs:41
     idf = jnp.log(1.0 + (n_docs - freq + 0.5) / (freq + 0.5))  # bm25.rs:56
-    lane_idf = jnp.take_along_axis(idf, gflat, axis=1)
+    c_idf = jnp.take_along_axis(idf, c_group, axis=1)  # [B, NC]
 
     lanes = ScoreLanes(
-        tf=tf.reshape(B, L, F),
-        field_length=flen.reshape(B, L, F),
+        tf=tf,
+        field_length=flen,
         field_avg=field_avg,
         fields_boost=fields_boost,
-        idf=lane_idf,
-        expansion_boost=jnp.broadcast_to(c_boost[..., None], (B, NC, C)).reshape(B, L),
-        doc=doc.reshape(B, L),
-        live=live.reshape(B, L),
-        qterm=jnp.broadcast_to(c_qterm[..., None], (B, NC, C)).reshape(B, L),
+        idf=c_idf,
+        expansion_boost=c_boost,
+        doc=doc,
+        live=live,
+        qterm=c_qterm,
     )
-    score = scorer.device_score_lanes(lanes)  # [B, L]
+    score = scorer.device_score_lanes(lanes)  # [B, NC, C]
 
-    key = jnp.where(lanes.live, (lanes.doc << qterm_bits) | lanes.qterm, INVALID_KEY)
-    return merge_scores_topk(key, score, k, qterm_bits)
+    key = jnp.where(
+        live, (doc << qterm_bits) | c_qterm[..., None], INVALID_KEY
+    ).reshape(B, L)
+    return merge_scores_topk(key, score.reshape(B, L), k, qterm_bits)
 
 
 _STEP_CACHE: Dict[Any, Any] = {}
@@ -272,16 +285,20 @@ class DeviceIndex:
         self.num_slots = S
         P = self.num_postings
         R = 1 + 2 * F
-        rec = np.empty((P + C, R), dtype=np.int32)
-        rec[:, 0] = -1
+        # TRANSPOSED layout [R, P + C]: chunk gathers become [R, C] slices
+        # with the 512-lane chunk dimension minor (see ScoreLanes layout
+        # note — a [C, R] layout pads R to 128 lanes and wastes ~40x HBM
+        # bandwidth).
+        rec = np.empty((R, P + C), dtype=np.int32)
+        rec[0] = -1
         if P:
             post_doc = np.concatenate(doc_parts)
             post_tf = np.concatenate(tf_parts)
             alive = index._alive[:S]
             doc_len = index._doc_len[:S].astype(np.float32)
-            rec[:P, 0] = np.where(alive[post_doc], post_doc, -1)
-            rec[:P, 1 : 1 + F] = post_tf
-            rec[:P, 1 + F :] = doc_len[post_doc].view(np.int32)
+            rec[0, :P] = np.where(alive[post_doc], post_doc, -1)
+            rec[1 : 1 + F, :P] = post_tf.T
+            rec[1 + F :, :P] = doc_len[post_doc].view(np.int32).T
         self.rec = jnp.asarray(rec)
         self.field_avg = jnp.asarray(
             np.array([fd.avg for fd in index._fields], dtype=np.float32)

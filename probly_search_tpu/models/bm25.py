@@ -110,24 +110,26 @@ class BM25(BaseScoreCalculator):
     # --- device (vectorized f32) path --------------------------------------
 
     def device_score_lanes(self, lanes):
-        """Vectorized per-lane score; see ops/query_device.py for ScoreLanes.
+        """Vectorized per-lane score (see index/device.py ScoreLanes layout:
+        [B, NC, F, C] with the posting lane dim C minor).
 
         Computes, for every lane (= one posting of one expansion job):
             sum_f tf_norm(tf_f, len_f, avg_f) * boost_f * idf * exp_boost
-        where idf is the lane's job idf (already df-clamped on device) and
-        exp_boost the lane's job expansion boost.  Math is identical to the
-        host path modulo f32.
+        where idf is the chunk's df-group idf (already df-clamped on device)
+        and exp_boost the chunk's expansion boost.  Math is identical to the
+        host path modulo f32.  Returns f32[B, NC, C].
         """
         import jax.numpy as jnp
 
         k1 = jnp.asarray(self.bm25k1, lanes.tf.dtype)
         b = jnp.asarray(self.bm25b, lanes.tf.dtype)
-        tf = lanes.tf  # [L, F]
-        denom = k1 * ((1.0 - b) + b * (lanes.field_length / lanes.field_avg)) + tf
+        tf = lanes.tf  # [B, NC, F, C]
+        avg = lanes.field_avg[:, None]  # [F, 1]
+        denom = k1 * ((1.0 - b) + b * (lanes.field_length / avg)) + tf
         tf_norm = jnp.where(tf > 0, ((k1 + 1.0) * tf) / denom, 0.0)
-        per_field = tf_norm * lanes.fields_boost  # [L, F]
-        base = jnp.sum(per_field, axis=-1)  # [L]
-        return base * lanes.idf * lanes.expansion_boost
+        per_field = tf_norm * lanes.fields_boost[:, None]  # [B, NC, F, C]
+        base = jnp.sum(per_field, axis=-2)  # [B, NC, C]
+        return base * (lanes.idf * lanes.expansion_boost)[..., None]
 
 
 def new(bm25k1: float = 1.2, bm25b: float = 0.75) -> BM25:

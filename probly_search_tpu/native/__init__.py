@@ -1,0 +1,12 @@
+"""Native host runtime (C++ via ctypes; no pybind11 in this environment).
+
+Builds lazily with g++ on first use and caches the shared object next to
+the source.  Everything here has a pure-Python fallback, so the package
+works without a compiler — the native path is a host-throughput
+optimization for the indexing pipeline (the analogue of the reference's
+Rust hot loop, `/root/reference/src/index.rs:90-157`).
+"""
+
+from .build import get_lib, tokenize_index_native, native_available
+
+__all__ = ["get_lib", "tokenize_index_native", "native_available"]

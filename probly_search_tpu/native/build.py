@@ -1,0 +1,111 @@
+"""Lazy g++ build + ctypes bindings for the native host runtime."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "psearch_native.cpp")
+_SO = os.path.join(_HERE, "libpsearch_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+class _TokenizeResult(ctypes.Structure):
+    _fields_ = [
+        ("term_ids", ctypes.POINTER(ctypes.c_int32)),
+        ("n_tokens", ctypes.c_int64),
+        ("doc_token_counts", ctypes.POINTER(ctypes.c_int64)),
+        ("terms_blob", ctypes.POINTER(ctypes.c_char)),
+        ("terms_blob_len", ctypes.c_int64),
+        ("term_byte_lens", ctypes.POINTER(ctypes.c_int32)),
+        ("n_terms", ctypes.c_int64),
+    ]
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.psearch_tokenize_index.restype = ctypes.POINTER(_TokenizeResult)
+    lib.psearch_tokenize_index.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
+    lib.psearch_free_result.argtypes = [ctypes.POINTER(_TokenizeResult)]
+    lib.psearch_free_result.restype = None
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is None and not _failed:
+            _lib = _build()
+            _failed = _lib is None
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def tokenize_index_native(
+    texts: List[str],
+) -> Optional[Tuple[np.ndarray, np.ndarray, List[str], np.ndarray]]:
+    """Tokenize + intern a column of texts natively.
+
+    Returns (term_ids_per_occurrence int32[N] — ids into the SORTED unique
+    term table, tokens_per_doc int64[D], sorted_terms list[str],
+    term_byte_lens int32[T]), or None when the native lib is unavailable.
+    Tokenization is the default single-space split with empty-token
+    filtering; callers must only use this for the default tokenizer.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    blob = "\n".join(texts).encode("utf-8") if False else None
+    # Concatenate WITHOUT separators; offsets delimit docs (a separator char
+    # could collide with text content).
+    encoded = [t.encode("utf-8") for t in texts]
+    offs = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offs[1:])
+    blob = b"".join(encoded)
+
+    res = lib.psearch_tokenize_index(
+        blob, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(texts)
+    )
+    try:
+        r = res.contents
+        n_tok = int(r.n_tokens)
+        n_terms = int(r.n_terms)
+        term_ids = np.ctypeslib.as_array(r.term_ids, shape=(max(n_tok, 1),))[:n_tok].copy()
+        counts = np.ctypeslib.as_array(r.doc_token_counts, shape=(max(len(texts), 1),))[
+            : len(texts)
+        ].copy()
+        blob_out = ctypes.string_at(r.terms_blob, int(r.terms_blob_len))
+        terms = blob_out.decode("utf-8").split("\x00")[:-1] if n_terms else []
+        term_lens = np.ctypeslib.as_array(r.term_byte_lens, shape=(max(n_terms, 1),))[
+            :n_terms
+        ].copy()
+    finally:
+        lib.psearch_free_result(res)
+    return term_ids, counts, terms, term_lens

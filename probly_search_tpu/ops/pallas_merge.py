@@ -1,0 +1,182 @@
+"""Fused Pallas merge kernel: bitonic sort + segmented scans + top-k.
+
+The XLA implementation of the score merge (ops/merge.py) materializes every
+intermediate in HBM: the sort alone rewrites the [B, L] key/score arrays
+per comparator stage group, and the two segmented scans plus top-k add
+several more full passes.  This kernel keeps one block of query rows
+resident in VMEM and performs the ENTIRE merge — the ``max_score_merger``
+rule (`/root/reference/src/query.rs:150-164`) plus result selection
+(`query.rs:103`) — in a single pass over HBM:
+
+  load [ROWS, L] (key, score) -> VMEM
+  bitonic sort by key       (comparator network expressed as lane ROTATES +
+                             selects: partner i^j fetched with pltpu.roll,
+                             so every stage is pure elementwise VPU work —
+                             no gathers, no reshapes)
+  segmented MAX over (doc, qterm) runs   ("max within a query term")
+  segmented SUM over doc runs            ("sum across query terms")
+  iterative top-k over doc-run tails
+  store [ROWS, k] (scores, docs)
+
+All shapes static; rows are independent so the grid tiles the batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .merge import INVALID_KEY
+
+_NEG_INF = float("-inf")  # plain python scalar: pallas kernels must not
+# capture traced jnp constants
+
+
+def _lane_iota(rows: int, L: int):
+    return jax.lax.broadcasted_iota(jnp.int32, (rows, L), 1)
+
+
+def _compare_exchange(key, val, pos, j: int, k: int):
+    """One bitonic comparator stage via lane rotation.
+
+    partner(i) = i ^ j; the rotated arrays provide x[i+j] and x[i-j], and
+    each element selects the right one from its own (i & j) bit.  Elements
+    that would wrap never select the wrapped branch, so circular rotation
+    is safe.
+    """
+    L = key.shape[-1]
+    pk_l = pltpu.roll(key, L - j, 1)  # key[i + j]
+    pk_r = pltpu.roll(key, j, 1)  # key[i - j]
+    pv_l = pltpu.roll(val, L - j, 1)
+    pv_r = pltpu.roll(val, j, 1)
+    is_low = (pos & j) == 0
+    pk = jnp.where(is_low, pk_l, pk_r)
+    pv = jnp.where(is_low, pv_l, pv_r)
+    up = (pos & k) == 0
+    key_low = jnp.where(is_low, key, pk)
+    key_high = jnp.where(is_low, pk, key)
+    # Ascending block: swap when low > high; descending: when low < high.
+    # (Boolean logic, not where-on-bools: Mosaic rejects selects with i1
+    # data operands.)
+    pair_swap = (up & (key_low > key_high)) | (~up & (key_low < key_high))
+    new_key = jnp.where(pair_swap, pk, key)
+    new_val = jnp.where(pair_swap, pv, val)
+    return new_key, new_val
+
+
+def _bitonic_sort(key, val, pos):
+    L = key.shape[-1]
+    size = 2
+    while size <= L:
+        j = size // 2
+        while j >= 1:
+            key, val = _compare_exchange(key, val, pos, j, size)
+            j //= 2
+        size *= 2
+    return key, val
+
+
+def _shift_right(x, pos, d: int, fill):
+    """x shifted d lanes right (toward higher index); first d lanes = fill."""
+    rolled = pltpu.roll(x, d, 1)
+    return jnp.where(pos < d, fill, rolled)
+
+
+def _shift_left(x, pos, d: int, fill):
+    L = x.shape[-1]
+    rolled = pltpu.roll(x, L - d, 1)
+    return jnp.where(pos >= L - d, fill, rolled)
+
+
+def _segmented_scan(op, vals, heads, pos, identity):
+    """Inclusive segmented scan (Hillis-Steele, log2 L steps).
+
+    ``heads`` is int32 (1 = segment start) — masks live as int32 data
+    because Mosaic cannot roll/select i1 vectors.
+    """
+    L = vals.shape[-1]
+    d = 1
+    while d < L:
+        sv = _shift_right(vals, pos, d, identity)
+        sh = _shift_right(heads, pos, d, 1)
+        vals = jnp.where(heads > 0, vals, op(vals, sv))
+        heads = heads | sh
+        d *= 2
+    return vals
+
+
+def _merge_kernel(k: int, qterm_bits: int, key_ref, score_ref, out_s_ref, out_d_ref):
+    key = key_ref[:, :]
+    score = score_ref[:, :]
+    rows, L = key.shape
+    pos = _lane_iota(rows, L)
+
+    key, score = _bitonic_sort(key, score, pos)
+
+    # Stage 1: max over runs of equal (doc, qterm) key.
+    head1 = (key != _shift_right(key, pos, 1, -1)).astype(jnp.int32)
+    run_max = _segmented_scan(jnp.maximum, score, head1, pos, _NEG_INF)
+    tail1 = key != _shift_left(key, pos, 1, -1)
+    contrib = jnp.where(tail1, run_max, 0.0)
+
+    # Stage 2: sum per-term maxima over runs of equal doc.
+    doc = key >> qterm_bits
+    head2 = (doc != _shift_right(doc, pos, 1, -1)).astype(jnp.int32)
+    doc_sum = _segmented_scan(jnp.add, contrib, head2, pos, 0.0)
+    tail2 = doc != _shift_left(doc, pos, 1, -1)
+
+    live = key != INVALID_KEY
+    final = jnp.where(tail2 & live, doc_sum, _NEG_INF)
+
+    # Iterative top-k (k small); accumulate [rows, k] and store once.
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
+    out_s = jnp.full((rows, k), _NEG_INF, jnp.float32)
+    out_d = jnp.full((rows, k), -1, jnp.int32)
+    vals = final
+    for i in range(k):
+        m = jnp.max(vals, axis=1, keepdims=True)  # [rows, 1]
+        ismax = vals == m
+        idx = jnp.min(jnp.where(ismax, pos, L), axis=1, keepdims=True)
+        sel = pos == idx
+        d_sel = jnp.max(jnp.where(sel, doc, -1), axis=1, keepdims=True)
+        valid = m > _NEG_INF
+        out_s = jnp.where((col == i) & valid, m, out_s)
+        out_d = jnp.where((col == i) & valid, d_sel, out_d)
+        vals = jnp.where(sel, _NEG_INF, vals)
+    out_s_ref[:, :] = out_s
+    out_d_ref[:, :] = out_d
+
+
+def merge_scores_topk_pallas(
+    key, score, k: int, qterm_bits: int, rows_per_block: int = 8, interpret: bool = False
+):
+    """Drop-in replacement for ops.merge.merge_scores_topk on TPU."""
+    B, L = key.shape
+    rows = min(rows_per_block, B)
+    while B % rows:
+        rows //= 2
+    rows = max(rows, 1)
+    grid = (B // rows,)
+    kernel = functools.partial(_merge_kernel, k, qterm_bits)
+    out_s, out_d = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(key, score)
+    return out_s, out_d

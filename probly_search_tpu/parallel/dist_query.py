@@ -92,17 +92,19 @@ class ShardedDeviceIndex:
             shard_rows.append(sel)
             pmax = max(pmax, len(sel))
         self.offsets_sh = offsets_sh
-        rec = np.empty((n, pmax + C, R), dtype=np.int32)
-        rec[:, :, 0] = -1
+        # Transposed per-shard record arrays [n, R, Pmax + C] (see
+        # index/device.py layout note).
+        rec = np.empty((n, R, pmax + C), dtype=np.int32)
+        rec[:, 0] = -1
         for s in range(n):
             sel = shard_rows[s]
             m = len(sel)
             if m:
                 gdoc = post_doc[sel]
                 local = gdoc // n
-                rec[s, :m, 0] = np.where(alive[gdoc], local, -1)
-                rec[s, :m, 1 : 1 + F] = gseg.post_tf[sel]
-                rec[s, :m, 1 + F :] = doc_len[gdoc].view(np.int32)
+                rec[s, 0, :m] = np.where(alive[gdoc], local, -1)
+                rec[s, 1 : 1 + F, :m] = gseg.post_tf[sel].T
+                rec[s, 1 + F :, :m] = doc_len[gdoc].view(np.int32).T
 
         # Place shard-major arrays on the mesh: sharded over "docs",
         # replicated over "data".

@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# CI pipeline — the analogue of the reference's .github/workflows/ci.yml
+# (check / test / lint / coverage, ci.yml:5-133), runnable locally.
+set -euo pipefail
+cd "$(dirname "$0")"
+
+echo "== syntax / import check =="
+python -m compileall -q probly_search_tpu tests bench.py __graft_entry__.py
+python -c "import probly_search_tpu"
+
+echo "== unit + integration tests (CPU, virtual 8-device mesh) =="
+python -m pytest tests/ -q
+
+echo "== entry-point checks =="
+JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
+import __graft_entry__ as g
+import numpy as np
+fn, args = g.entry()
+jax.jit(fn)(*args)
+g.dryrun_multichip(8)
+print("entry points OK")
+EOF
+
+echo "CI OK"

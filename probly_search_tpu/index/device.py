@@ -68,6 +68,10 @@ _GROUP_BITS = 8
 _MAX_JOB_LEN = (1 << _LEN_BITS) - 1
 _MAX_GROUPS = (1 << _GROUP_BITS) - 1
 
+# Fused-kernel mode: "auto" (TPU only), "off" (staged XLA path), or
+# "interpret" (run the Pallas kernel interpreted — CPU parity testing).
+_FUSED_MODE = "auto"
+
 
 @dataclass
 class ScoreLanes:
@@ -128,7 +132,11 @@ def _query_step_impl(
     jboost = jax.lax.bitcast_convert_type(jobs[..., 2], jnp.float32)
 
     # --- on-device chunk expansion (all [B, NC]-small) ------------------ #
-    njc = (jlen + (C - 1)) // C  # [B, NJ] chunks per job
+    # Each chunk's DMA start must be 128-aligned (Mosaic lane tiling), so a
+    # chunk carries CP = C - 128 payload postings at a 128-aligned slice
+    # start plus a per-chunk skip < 128.
+    CP = C - 128
+    njc = (jlen + (CP - 1)) // CP  # [B, NJ] chunks per job
     cum = jnp.cumsum(njc, axis=1)
     chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (B, NC), dimension=1)
     chunk_job = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
@@ -140,14 +148,50 @@ def _query_step_impl(
         return jnp.take_along_axis(a, jc, axis=1)
 
     within = chunk_ids - (take(cum) - take(njc))  # chunk index within job
-    c_start = take(jstart) + within * C  # [B, NC]
-    c_len = jnp.clip(take(jlen) - within * C, 0, C)
+    raw = take(jstart) + within * CP  # [B, NC] true posting offset
+    c_start = (raw // 128) * 128  # aligned DMA start
+    c_skip = raw - c_start  # payload begins at this lane
+    c_len = jnp.clip(take(jlen) - within * CP, 0, CP)
     c_valid = chunk_ids < cum[:, -1:]
     c_len = jnp.where(c_valid, c_len, 0)
     c_start = jnp.where(c_valid, c_start, 0)
+    c_skip = jnp.where(c_valid, c_skip, 0)
     c_qterm = take(jqterm)
     c_group = take(jgroup)
     c_boost = take(jboost)
+
+    # --- fully fused kernel path (TPU, single chip) --------------------- #
+    # DMA gather + score + df/idf + merge in one VMEM-resident Pallas
+    # program (ops/pallas_query.py).  The sharded path (df_reduce set)
+    # needs a psum between df and idf, so it stays on the staged path.
+    if (
+        _FUSED_MODE != "off"
+        and df_reduce is None
+        and (L & (L - 1)) == 0
+        and (_FUSED_MODE == "interpret" or jax.default_backend() != "cpu")
+    ):
+        from ..ops.pallas_query import fused_query_topk
+
+        scalars = jnp.concatenate(
+            [jnp.reshape(n_docs, (1,)), field_avg, fields_boost]
+        )[None, :]
+        return fused_query_topk(
+            scorer,
+            rec,
+            c_start,
+            c_skip,
+            c_len,
+            c_group,
+            c_qterm,
+            c_boost,
+            scalars,
+            chunk=C,
+            k=k,
+            qterm_bits=qterm_bits,
+            num_fields=F,
+            num_jobs=NJ,
+            interpret=(_FUSED_MODE == "interpret"),
+        )
 
     # --- contiguous slice-gather [B, NC, R, C] -------------------------- #
     R = rec.shape[0]
@@ -162,7 +206,11 @@ def _query_step_impl(
     flen = jax.lax.bitcast_convert_type(g[:, :, 1 + F : 1 + 2 * F, :], jnp.float32)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, NC, C), dimension=2)
-    live = (pos < c_len[..., None]) & (doc >= 0)
+    live = (
+        (pos >= c_skip[..., None])
+        & (pos < (c_skip + c_len)[..., None])
+        & (doc >= 0)
+    )
     occ = tf.sum(2)  # [B, NC, C]
 
     # --- df per df-group (live pointer count, index.rs:282-297) --------- #
@@ -255,7 +303,10 @@ class PlannedJobs:
 class DeviceIndex:
     """Device-resident snapshot of an Index at a given version."""
 
-    CHUNK = 512  # postings per chunk; contiguous 2-12KB DMA slices
+    # Postings per chunk.  Slice-gather cost is dominated by a per-slice
+    # overhead (~1.5us), not bytes, so fatter chunks win even though small
+    # posting lists pad a whole chunk.
+    CHUNK = 2048
     LANES_PER_DISPATCH = 1 << 23  # ~8M lanes -> ~128MB gather per dispatch
     NC_BUCKETS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
     NJ_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
@@ -291,12 +342,12 @@ class DeviceIndex:
         S = index._next_slot
         self.num_slots = S
         P = self.num_postings
-        R = 1 + 2 * F
         # TRANSPOSED layout [R, P + C]: chunk gathers become [R, C] slices
-        # with the 512-lane chunk dimension minor (see ScoreLanes layout
-        # note — a [C, R] layout pads R to 128 lanes and wastes ~40x HBM
-        # bandwidth).
-        rec = np.empty((R, P + C), dtype=np.int32)
+        # with the chunk dimension minor (a [C, R] layout pads R to 128
+        # lanes and wastes ~40x HBM bandwidth).  R is padded to a multiple
+        # of 4: Mosaic requires DMA slices sublane-tile aligned.
+        R = -(-(1 + 2 * F) // 4) * 4
+        rec = np.zeros((R, P + C), dtype=np.int32)
         rec[0] = -1
         if P:
             post_doc = np.concatenate(doc_parts)
@@ -305,7 +356,7 @@ class DeviceIndex:
             doc_len = index._doc_len[:S].astype(np.float32)
             rec[0, :P] = np.where(alive[post_doc], post_doc, -1)
             rec[1 : 1 + F, :P] = post_tf.T
-            rec[1 + F :, :P] = doc_len[post_doc].view(np.int32).T
+            rec[1 + F : 1 + 2 * F, :P] = doc_len[post_doc].view(np.int32).T
         self.rec = jnp.asarray(rec)
         self.field_avg = jnp.asarray(
             np.array([fd.avg for fd in index._fields], dtype=np.float32)
@@ -447,8 +498,8 @@ class DeviceIndex:
         )
         words[:, 2] = boost.view(np.int32)
 
-        C = self.CHUNK
-        job_chunks = (jlen + C - 1) // C
+        CP = self.CHUNK - 128  # payload postings per chunk (aligned DMA)
+        job_chunks = (jlen + CP - 1) // CP
         nchunks = np.bincount(jquery, weights=job_chunks.astype(np.float64), minlength=B)
         njobs = np.bincount(jquery, minlength=B)
         return PlannedJobs(

@@ -138,3 +138,143 @@ class ZeroToOne(BaseScoreCalculator):
 def new() -> ZeroToOne:
     """Factory matching ``score::zero_to_one::new()`` (zero_to_one.rs:35)."""
     return ZeroToOne()
+
+
+# --------------------------------------------------------------------- #
+# Vectorized execution (SURVEY §7 M4)                                    #
+# --------------------------------------------------------------------- #
+#
+# The finalize pass is inherently sequential per (doc, field) — a sorted
+# consumption loop with two kinds of state (consumed query terms, per-node
+# df pools).  The vectorized engine runs that loop ONCE over the padded
+# maximum group size, with every (doc, field) group advancing in lockstep
+# as numpy lanes; per-step work is O(groups), so a query over thousands of
+# matched docs costs max_group_size (typically < 16) vectorized steps
+# instead of a Python loop per posting.  Entry enumeration order matches
+# the exact path (query term asc, expansion lexicographic, doc slot asc),
+# so results are bit-identical to the oracle.
+
+
+def vectorized_query(index, query: str, tokenizer=None, top_k=None):
+    """Zero-to-one query over the segment SoA, vectorized with numpy."""
+    import numpy as np
+
+    from ..models.base import QueryResult
+    from ..utils.tokenizers import whitespace_tokenizer
+
+    tokenizer = tokenizer or whitespace_tokenizer
+    index._flush_pending()
+    query_terms = list(tokenizer(query))
+    qlen_total = len(query_terms)  # includes empties (query.rs:32)
+    F = index.num_fields
+
+    # --- gather entries ---------------------------------------------------
+    e_slot, e_field, e_qti, e_node, e_score, e_tf, e_flen = ([] for _ in range(7))
+    node_ids = {}
+    for qti, qterm in enumerate(query_terms):
+        if not qterm:
+            continue
+        qbytes = float(len(qterm.encode("utf-8")))
+        for exp in index._expand_term_sorted(qterm):
+            slots, tfs, occs = index._gather_postings(exp)
+            if len(slots) == 0:
+                continue
+            alive = index._alive[slots]
+            df = int(occs[alive].sum())
+            if df <= 0:
+                continue  # query.rs:48
+            nid = node_ids.setdefault(exp, len(node_ids))
+            ebytes = float(len(exp.encode("utf-8")))
+            sc = 1.0 - abs(ebytes - qbytes) / ebytes
+            live_slots = slots[alive]
+            live_tfs = tfs[alive]
+            flens = index._doc_len[live_slots]  # [n, F]
+            for f in range(F):
+                m = live_tfs[:, f] > 0
+                if not m.any():
+                    continue
+                n = int(m.sum())
+                e_slot.append(live_slots[m].astype(np.int64))
+                e_field.append(np.full(n, f, np.int64))
+                e_qti.append(np.full(n, qti, np.int64))
+                e_node.append(np.full(n, nid, np.int64))
+                e_score.append(np.full(n, sc, np.float64))
+                e_tf.append(live_tfs[m, f].astype(np.int64))
+                e_flen.append(flens[m, f].astype(np.int64))
+    if not e_slot:
+        return []
+    slot = np.concatenate(e_slot)
+    fieldv = np.concatenate(e_field)
+    qti = np.concatenate(e_qti)
+    node = np.concatenate(e_node)
+    score = np.concatenate(e_score)
+    tf = np.concatenate(e_tf)
+    flen = np.concatenate(e_flen)
+    N = len(slot)
+    seq = np.arange(N)
+
+    # --- group by (slot, field), stable sort by score desc ----------------
+    order = np.lexsort((seq, -score, fieldv, slot))
+    slot, fieldv, qti, node, score, tf, flen = (
+        a[order] for a in (slot, fieldv, qti, node, score, tf, flen)
+    )
+    ghead = np.ones(N, bool)
+    ghead[1:] = (slot[1:] != slot[:-1]) | (fieldv[1:] != fieldv[:-1])
+    gid = np.cumsum(ghead) - 1
+    G = int(gid[-1]) + 1
+    gstart = np.flatnonzero(ghead)
+    gsize = np.diff(np.append(gstart, N))
+
+    # pool slot: index of the FIRST entry with the same (group, node) — the
+    # pool each entry consumes from.
+    o2 = np.lexsort((np.arange(N), node, gid))
+    h2 = np.ones(N, bool)
+    h2[1:] = (gid[o2][1:] != gid[o2][:-1]) | (node[o2][1:] != node[o2][:-1])
+    run2 = np.cumsum(h2) - 1
+    pool_slot = np.empty(N, np.int64)
+    pool_slot[o2] = o2[h2][run2]
+
+    # --- lockstep consumption loop (zero_to_one.rs:98-121) ----------------
+    E = int(gsize.max())
+    consumed = np.zeros(G, np.int64)  # bitmask over query-term index
+    pools = np.full(N, -1, np.int64)  # -1 = untouched
+    acc = np.zeros(G, np.float64)
+    for e in range(E):
+        active = e < gsize
+        idx = np.minimum(gstart + e, N - 1)
+        q = qti[idx]
+        ok = active & (((consumed >> q) & 1) == 0)
+        ps = pool_slot[idx]
+        pv = pools[ps]
+        first = pv < 0
+        take = ok & (first | (pv > 0))
+        new_pv = np.where(first, tf[idx] - 1, pv - 1)
+        # Only taken lanes write their pool: an inactive lane's clamped idx
+        # could alias an active group's pool slot.
+        tk = np.flatnonzero(take)
+        pools[ps[tk]] = new_pv[tk]
+        consumed = np.where(take, consumed | (np.int64(1) << q), consumed)
+        contrib = (
+            np.minimum(score[idx] / tf[idx], 1.0)
+            * tf[idx]
+            / np.maximum(flen[idx], qlen_total)
+        )
+        acc += np.where(take, contrib, 0.0)
+
+    # --- doc score = max over fields (zero_to_one.rs:122) -----------------
+    g_slot = slot[gstart]
+    uniq_slots, inv = np.unique(g_slot, return_inverse=True)
+    doc_score = np.zeros(len(uniq_slots), np.float64)
+    np.maximum.at(doc_score, inv, acc)
+
+    results = [
+        QueryResult(key=index._slot_to_key[int(s)], score=float(v))
+        for s, v in zip(uniq_slots, doc_score)
+    ]
+    results.sort(key=lambda r: (-r.score, index._key_to_slot.get(r.key, 0)))
+    if top_k is not None:
+        results = results[:top_k]
+    return results
+
+
+ZeroToOne.vectorized_query = staticmethod(vectorized_query)

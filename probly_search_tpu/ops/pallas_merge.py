@@ -151,12 +151,25 @@ def _merge_kernel(k: int, qterm_bits: int, key_ref, score_ref, out_s_ref, out_d_
     out_d_ref[:, :] = out_d
 
 
+def pick_rows_per_block(B: int, L: int, bytes_per_lane: int = 80, budget: int = 13 << 20) -> int:
+    """Rows per kernel block, bounded by a VMEM budget (~80B of live
+    intermediates per lane measured for the merge pipeline)."""
+    rows = 8
+    while rows > 1 and rows * L * bytes_per_lane > budget:
+        rows //= 2
+    rows = min(rows, B)
+    while B % rows:
+        rows //= 2
+    return max(rows, 1)
+
+
 def merge_scores_topk_pallas(
-    key, score, k: int, qterm_bits: int, rows_per_block: int = 8, interpret: bool = False
+    key, score, k: int, qterm_bits: int, rows_per_block: int | None = None, interpret: bool = False
 ):
     """Drop-in replacement for ops.merge.merge_scores_topk on TPU."""
     B, L = key.shape
-    rows = min(rows_per_block, B)
+    rows = rows_per_block or pick_rows_per_block(B, L)
+    rows = min(rows, B)
     while B % rows:
         rows //= 2
     rows = max(rows, 1)

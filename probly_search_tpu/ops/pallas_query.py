@@ -1,0 +1,238 @@
+"""Fully fused Pallas query kernel: DMA gather + score + df/idf + merge.
+
+The XLA step (index/device.py) pays a measured ~1.5us per posting-chunk
+slice gather and materializes every stage in HBM.  This kernel executes one
+block of query rows end-to-end in VMEM:
+
+  per (row, chunk): async-copy rec[:, start:start+C] from HBM into VMEM
+  compute liveness / occurrence counts
+  df per df-group -> idf            (count_documents + bm25.rs:41-56)
+  scorer lanes -> per-lane scores   (vectorized ScoreCalculator::score)
+  bitonic sort + segmented max/sum  (the max_score_merger rule,
+                                     query.rs:150-164)
+  iterative top-k                   (query.rs:103 + selection)
+
+HBM traffic per dispatch = the postings actually touched + job metadata +
+[B, k] results; every intermediate lives in VMEM.  The chunk tables
+(start/len/group/qterm/boost) are computed by a tiny XLA prologue — the
+kernel reads chunk starts from SMEM to issue DMAs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .merge import INVALID_KEY
+from .pallas_merge import _bitonic_sort, _lane_iota, _segmented_scan, _shift_left, _shift_right
+
+_NEG_INF = float("-inf")
+
+
+def _query_kernel(
+    scorer,
+    C: int,
+    k: int,
+    qterm_bits: int,
+    F: int,
+    NC: int,
+    NJ: int,
+    # refs:
+    c_start_ref,  # SMEM [1, ROWS, NC] int32 — 128-aligned DMA starts
+    c_skip_ref,  # VMEM [1, ROWS, NC] int32 — payload begins at this lane
+    c_len_ref,  # VMEM [1, ROWS, NC] int32
+    c_group_ref,  # VMEM [1, ROWS, NC] int32
+    c_qterm_ref,  # VMEM [1, ROWS, NC] int32
+    c_boost_ref,  # VMEM [1, ROWS, NC] f32
+    scal_ref,  # VMEM [1, 1 + 2F] f32: n_docs, field_avg[F], fields_boost[F]
+    rec_ref,  # HBM [R, P + C] int32
+    out_s_ref,  # VMEM [1, ROWS, k] f32
+    out_d_ref,  # VMEM [1, ROWS, k] int32
+    g_ref,  # scratch VMEM [ROWS, NC, R, C] int32
+    sem,  # DMA sems [ROWS, NC]
+):
+    ROWS = c_len_ref.shape[1]
+    R = rec_ref.shape[0]
+    L = NC * C
+
+    # ---- gather: one 2-D DMA per (row, chunk) -------------------------- #
+    for r in range(ROWS):
+        for c in range(NC):
+            s = pl.multiple_of(c_start_ref[0, r, c], 128)
+            pltpu.make_async_copy(
+                rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
+            ).start()
+    for r in range(ROWS):
+        for c in range(NC):
+            s = pl.multiple_of(c_start_ref[0, r, c], 128)
+            pltpu.make_async_copy(
+                rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
+            ).wait()
+
+    g = g_ref[:, :, :, :]  # [ROWS, NC, R, C]
+    doc = g[:, :, 0, :]  # [ROWS, NC, C]
+    tf = g[:, :, 1 : 1 + F, :].astype(jnp.float32)  # [ROWS, NC, F, C]
+    flen = pltpu.bitcast(g[:, :, 1 + F : 1 + 2 * F, :], jnp.float32)
+
+    c_skip = c_skip_ref[0]
+    c_len = c_len_ref[0]
+    c_group = c_group_ref[0]
+    c_qterm = c_qterm_ref[0]
+    c_boost = c_boost_ref[0]
+    n_docs = scal_ref[0, 0]
+
+    cpos = jax.lax.broadcasted_iota(jnp.int32, (ROWS, NC, C), 2)
+    live = (
+        (cpos >= c_skip[..., None])
+        & (cpos < (c_skip + c_len)[..., None])
+        & (doc >= 0)
+    )
+    occ = tf.sum(2)  # [ROWS, NC, C]
+
+    # ---- df per group -> idf (static NJ loop; all [ROWS, NC]-small) ---- #
+    w_chunk = jnp.where(live, occ, 0.0).sum(-1)  # [ROWS, NC]
+    c_idf = jnp.zeros_like(w_chunk)
+    for j in range(NJ):
+        df_j = jnp.sum(jnp.where(c_group == j, w_chunk, 0.0), axis=1, keepdims=True)
+        freq = jnp.minimum(n_docs, df_j)  # bm25.rs:41
+        idf_j = jnp.log(1.0 + (n_docs - freq + 0.5) / (freq + 0.5))  # bm25.rs:56
+        c_idf = jnp.where(c_group == j, idf_j, c_idf)
+
+    # ---- scoring (vectorized scorer protocol) -------------------------- #
+    from ..index.device import ScoreLanes
+
+    lanes = ScoreLanes(
+        tf=tf,
+        field_length=flen,
+        field_avg=scal_ref[0, 1 : 1 + F],
+        fields_boost=scal_ref[0, 1 + F : 1 + 2 * F],
+        idf=c_idf,
+        expansion_boost=c_boost,
+        doc=doc,
+        live=live,
+        qterm=c_qterm,
+    )
+    score = scorer.device_score_lanes(lanes)  # [ROWS, NC, C]
+
+    key = jnp.where(live, (doc << qterm_bits) | c_qterm[..., None], INVALID_KEY)
+    key = key.reshape(ROWS, L)
+    score = score.reshape(ROWS, L)
+
+    # ---- merge + top-k (VMEM-resident) --------------------------------- #
+    pos = _lane_iota(ROWS, L)
+    key, score = _bitonic_sort(key, score, pos)
+    head1 = (key != _shift_right(key, pos, 1, -1)).astype(jnp.int32)
+    run_max = _segmented_scan(jnp.maximum, score, head1, pos, _NEG_INF)
+    tail1 = key != _shift_left(key, pos, 1, -1)
+    contrib = jnp.where(tail1, run_max, 0.0)
+    doc_s = key >> qterm_bits
+    head2 = (doc_s != _shift_right(doc_s, pos, 1, -1)).astype(jnp.int32)
+    doc_sum = _segmented_scan(jnp.add, contrib, head2, pos, 0.0)
+    tail2 = doc_s != _shift_left(doc_s, pos, 1, -1)
+    live_s = key != INVALID_KEY
+    final = jnp.where(tail2 & live_s, doc_sum, _NEG_INF)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, k), 1)
+    out_s = jnp.full((ROWS, k), _NEG_INF, jnp.float32)
+    out_d = jnp.full((ROWS, k), -1, jnp.int32)
+    vals = final
+    for i in range(k):
+        m = jnp.max(vals, axis=1, keepdims=True)
+        ismax = vals == m
+        idx = jnp.min(jnp.where(ismax, pos, L), axis=1, keepdims=True)
+        sel = pos == idx
+        d_sel = jnp.max(jnp.where(sel, doc_s, -1), axis=1, keepdims=True)
+        valid = m > _NEG_INF
+        out_s = jnp.where((col == i) & valid, m, out_s)
+        out_d = jnp.where((col == i) & valid, d_sel, out_d)
+        vals = jnp.where(sel, _NEG_INF, vals)
+    out_s_ref[0] = out_s
+    out_d_ref[0] = out_d
+
+
+def fused_query_topk(
+    scorer,
+    rec,
+    c_start,
+    c_skip,
+    c_len,
+    c_group,
+    c_qterm,
+    c_boost,
+    scalars,
+    *,
+    chunk: int,
+    k: int,
+    qterm_bits: int,
+    num_fields: int,
+    num_jobs: int,
+    rows_per_block: int = 8,
+    interpret: bool = False,
+):
+    """Run the fused kernel over a dispatch.
+
+    Args mirror the XLA step's chunk tables; ``scalars`` is f32[1, 1 + 2F]
+    = (n_docs, field_avg, fields_boost); ``rec`` is the transposed posting
+    record array int32[R, P + C].
+    """
+    B, NC = c_start.shape
+    R0 = rec.shape[0]
+    from .pallas_merge import pick_rows_per_block
+
+    # merge intermediates (~80B/lane) + the gather scratch (4*R bytes/lane).
+    rows = min(
+        rows_per_block,
+        pick_rows_per_block(B, NC * chunk, bytes_per_lane=80 + 4 * R0),
+    )
+    rows = min(rows, B)
+    while B % rows:
+        rows //= 2
+    rows = max(rows, 1)
+    grid = (B // rows,)
+    G = B // rows
+    R = rec.shape[0]
+    C = chunk
+
+    # Blocks must cover the full trailing dims (Pallas TPU block rule), so
+    # the [B, NC] chunk tables are viewed as [G, rows, NC] with (1, rows,
+    # NC) blocks.
+    def r3(a):
+        return a.reshape(G, rows, NC)
+
+    kernel = functools.partial(
+        _query_kernel, scorer, C, k, qterm_bits, num_fields, NC, num_jobs
+    )
+    row_block = lambda i: (i, 0, 0)
+    table = lambda space: pl.BlockSpec((1, rows, NC), row_block, memory_space=space)
+    out_s, out_d = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            table(pltpu.SMEM),
+            table(pltpu.VMEM),
+            table(pltpu.VMEM),
+            table(pltpu.VMEM),
+            table(pltpu.VMEM),
+            table(pltpu.VMEM),
+            pl.BlockSpec((1, scalars.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, k), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, k), row_block, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, rows, k), jnp.float32),
+            jax.ShapeDtypeStruct((G, rows, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, NC, R, C), jnp.int32),
+            pltpu.SemaphoreType.DMA((rows, NC)),
+        ],
+        interpret=interpret,
+    )(r3(c_start), r3(c_skip), r3(c_len), r3(c_group), r3(c_qterm), r3(c_boost), scalars, rec)
+    return out_s.reshape(B, k), out_d.reshape(B, k)

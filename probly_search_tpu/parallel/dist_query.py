@@ -75,7 +75,7 @@ class ShardedDeviceIndex:
 
         # Per-shard CSR: select postings by doc % n (order within a term is
         # preserved, so per-shard postings stay doc-sorted).
-        R = 1 + 2 * F
+        R = -(-(1 + 2 * F) // 4) * 4  # sublane-aligned (see index/device.py)
         post_doc = gseg.post_doc
         term_of_post = np.repeat(
             np.arange(T, dtype=np.int64), np.diff(gseg.offsets).astype(np.int64)
@@ -94,7 +94,7 @@ class ShardedDeviceIndex:
         self.offsets_sh = offsets_sh
         # Transposed per-shard record arrays [n, R, Pmax + C] (see
         # index/device.py layout note).
-        rec = np.empty((n, R, pmax + C), dtype=np.int32)
+        rec = np.zeros((n, R, pmax + C), dtype=np.int32)
         rec[:, 0] = -1
         for s in range(n):
             sel = shard_rows[s]
@@ -104,7 +104,7 @@ class ShardedDeviceIndex:
                 local = gdoc // n
                 rec[s, 0, :m] = np.where(alive[gdoc], local, -1)
                 rec[s, 1 : 1 + F, :m] = gseg.post_tf[sel].T
-                rec[s, 1 + F :, :m] = doc_len[gdoc].view(np.int32).T
+                rec[s, 1 + F : 1 + 2 * F, :m] = doc_len[gdoc].view(np.int32).T
 
         # Place shard-major arrays on the mesh: sharded over "docs",
         # replicated over "data".
@@ -188,7 +188,7 @@ class ShardedDeviceIndex:
             words[s, :, 0] = start
             words[s, :, 1] = length | meta1
             words[s, :, 2] = boost.view(np.int32)
-            nch = np.bincount(jquery, weights=((length + C - 1) // C).astype(np.float64), minlength=B)
+            nch = np.bincount(jquery, weights=((length + (C - 128) - 1) // (C - 128)).astype(np.float64), minlength=B)
             np.maximum(max_chunks, nch.astype(np.int64), out=max_chunks)
         return jquery, words, max_chunks, njobs
 

@@ -1,0 +1,69 @@
+"""Fused Pallas query kernel (interpret mode) vs the staged XLA step and the
+f64 host oracle."""
+
+import numpy as np
+import pytest
+
+import probly_search_tpu.index.device as dev
+from probly_search_tpu import Index, bm25
+from .util import Doc, build_test_index, title_extract, tokenizer
+
+
+@pytest.fixture
+def fused_interpret(monkeypatch):
+    monkeypatch.setattr(dev, "_FUSED_MODE", "interpret")
+    # distinct jit cache entries per mode: clear the step cache
+    dev._STEP_CACHE.clear()
+    yield
+    dev._STEP_CACHE.clear()
+
+
+def _corpus(n=120, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["".join(rng.choice("abcdef") for _ in range(rng.randint(1, 4))) for _ in range(60)]
+    ix = Index(1)
+    for i in range(n):
+        ix.add_document(
+            [title_extract], tokenizer, i,
+            Doc(id=i, title=" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))),
+        )
+    queries = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3))) for _ in range(10)]
+    queries += [rng.choice(vocab)[:1] for _ in range(3)]
+    return ix, queries
+
+
+def test_fused_matches_oracle(fused_interpret):
+    ix, queries = _corpus()
+    rows = ix.query_batch(queries, bm25.new(), top_k=8, backend="device")
+    for q, row in zip(queries, rows):
+        oracle = ix.query(q, bm25.new(), tokenizer, [1.0])[:8]
+        assert len(row) == len(oracle), q
+        o = {r.key: r.score for r in oracle}
+        for r in row:
+            assert r.key in o or any(abs(r.score - x.score) < 1e-5 for x in oracle), (q, r)
+            if r.key in o:
+                np.testing.assert_allclose(r.score, o[r.key], rtol=2e-5, atol=1e-6)
+
+
+def test_fused_multifield_deletes(fused_interpret):
+    from .util import text_extract
+
+    ix = Index(2)
+    docs = [
+        Doc(id=1, title="a b c", text="hello world"),
+        Doc(id=2, title="c d e", text="lorem ipsum"),
+        Doc(id=3, title="hello c", text="a b"),
+    ]
+    for d in docs:
+        ix.add_document([title_extract, text_extract], tokenizer, d.id, d)
+    ix.remove_document(2)
+    rows = ix.query_batch(
+        ["c", "hello", "a d"], bm25.new(), fields_boost=[2.0, 0.5], top_k=5, backend="device"
+    )
+    for q, row in zip(["c", "hello", "a d"], rows):
+        oracle = ix.query(q, bm25.new(), tokenizer, [2.0, 0.5])[:5]
+        assert [r.key for r in row] == [r.key for r in oracle], q
+        for a, b in zip(row, oracle):
+            np.testing.assert_allclose(a.score, b.score, rtol=2e-5, atol=1e-6)

@@ -72,6 +72,8 @@ from ..models.base import (
 from ..utils.tokenizers import whitespace_tokenizer
 from .segment import Segment, build_segment, empty_segment, merge_segments
 
+import threading
+
 FieldAccessor = Callable[[Any], Sequence[str]]
 Tokenizer = Callable[[str], Sequence[str]]
 
@@ -120,6 +122,14 @@ class Index:
         # Monotonic version for device-side cache invalidation.
         self._version = 0
         self._device_cache = None
+
+        # Host-side concurrency: a re-entrant lock guards every public
+        # entry point.  The reference is single-threaded and only proves
+        # Send-ness via an external Mutex (integrations_tests.rs:151-168);
+        # here interleaved add/remove/query from multiple threads is safe
+        # by construction (SURVEY §5 race-detection plan).  SPMD device
+        # execution is data-race-free by construction.
+        self._lock = threading.RLock()
 
     # ------------------------------------------------------------------ #
     # constructors mirroring the reference                                #
@@ -535,3 +545,33 @@ class Index:
             occs = np.concatenate([p[2] for p in parts])
         order = np.argsort(slots, kind="stable")
         return slots[order], tfs[order], occs[order]
+
+
+def _locked(method):
+    """Serialize a public entry point on the per-index re-entrant lock."""
+    import functools
+
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        with self._lock:
+            return method(self, *args, **kwargs)
+
+    return wrapper
+
+
+for _name in (
+    "add_document",
+    "add_documents",
+    "add_documents_columnar",
+    "remove_document",
+    "vacuum",
+    "query",
+    "query_batch",
+    "device_index",
+    "expand_term",
+    "terms",
+    "document_frequency",
+    "_flush_pending",
+):
+    setattr(Index, _name, _locked(getattr(Index, _name)))
+del _name

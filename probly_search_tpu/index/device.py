@@ -168,6 +168,7 @@ def _query_step_impl(
         _FUSED_MODE != "off"
         and df_reduce is None
         and (L & (L - 1)) == 0
+        and L <= 16384  # wider rows exceed VMEM even at 1 row/block
         and (_FUSED_MODE == "interpret" or jax.default_backend() != "cpu")
     ):
         from ..ops.pallas_query import fused_query_topk

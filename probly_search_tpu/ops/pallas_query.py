@@ -183,10 +183,11 @@ def fused_query_topk(
     R0 = rec.shape[0]
     from .pallas_merge import pick_rows_per_block
 
-    # merge intermediates (~80B/lane) + the gather scratch (4*R bytes/lane).
+    # Mosaic's scoped-stack allocation for this kernel measures ~640B/lane
+    # (sort + scan stage buffers are kept live) plus the gather scratch.
     rows = min(
         rows_per_block,
-        pick_rows_per_block(B, NC * chunk, bytes_per_lane=80 + 4 * R0),
+        pick_rows_per_block(B, NC * chunk, bytes_per_lane=640 + 4 * R0),
     )
     rows = min(rows, B)
     while B % rows:

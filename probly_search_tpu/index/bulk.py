@@ -16,7 +16,7 @@ tests/test_bulk.py asserts directly against the sequential path.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, List, Sequence
 
 import numpy as np
 

@@ -54,7 +54,6 @@ bugs this engine chooses not to reproduce):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
@@ -70,7 +69,7 @@ from ..models.base import (
     TermData,
 )
 from ..utils.tokenizers import whitespace_tokenizer
-from .segment import Segment, build_segment, empty_segment, merge_segments
+from .segment import Segment, build_segment, merge_segments
 
 import threading
 

@@ -15,7 +15,7 @@ int/str column (keys are generic in the reference, `index.rs:35`).
 from __future__ import annotations
 
 import json
-from typing import Any, List
+from typing import List
 
 import numpy as np
 

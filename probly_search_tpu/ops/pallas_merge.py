@@ -110,8 +110,10 @@ def _segmented_scan(op, vals, heads, pos, identity):
 
 
 def _merge_kernel(k: int, qterm_bits: int, key_ref, score_ref, out_s_ref, out_d_ref):
-    key = key_ref[:, :]
-    score = score_ref[:, :]
+    # refs are [1, rows, L] blocks (3-D so trailing dims equal the array's;
+    # Pallas TPU block rule).
+    key = key_ref[0]
+    score = score_ref[0]
     rows, L = key.shape
     pos = _lane_iota(rows, L)
 
@@ -147,8 +149,8 @@ def _merge_kernel(k: int, qterm_bits: int, key_ref, score_ref, out_s_ref, out_d_
         out_s = jnp.where((col == i) & valid, m, out_s)
         out_d = jnp.where((col == i) & valid, d_sel, out_d)
         vals = jnp.where(sel, _NEG_INF, vals)
-    out_s_ref[:, :] = out_s
-    out_d_ref[:, :] = out_d
+    out_s_ref[0] = out_s
+    out_d_ref[0] = out_d
 
 
 def pick_rows_per_block(B: int, L: int, bytes_per_lane: int = 80, budget: int = 13 << 20) -> int:
@@ -173,23 +175,24 @@ def merge_scores_topk_pallas(
     while B % rows:
         rows //= 2
     rows = max(rows, 1)
-    grid = (B // rows,)
+    G = B // rows
+    grid = (G,)
     kernel = functools.partial(_merge_kernel, k, qterm_bits)
     out_s, out_d = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((rows, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, k), jnp.float32),
-            jax.ShapeDtypeStruct((B, k), jnp.int32),
+            jax.ShapeDtypeStruct((G, rows, k), jnp.float32),
+            jax.ShapeDtypeStruct((G, rows, k), jnp.int32),
         ],
         interpret=interpret,
-    )(key, score)
-    return out_s, out_d
+    )(key.reshape(G, rows, L), score.reshape(G, rows, L))
+    return out_s.reshape(B, k), out_d.reshape(B, k)

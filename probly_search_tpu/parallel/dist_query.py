@@ -20,7 +20,7 @@ semantics, N chips.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -30,7 +30,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..index.device import (
     _MAX_CHAR,
-    _GROUP_BITS,
     _LEN_BITS,
     _MAX_GROUPS,
     _MAX_JOB_LEN,

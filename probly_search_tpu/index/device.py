@@ -576,13 +576,19 @@ class DeviceIndex:
         query must not pad out thousands of light ones; SURVEY §7 hard
         part 3).
         """
+        from ..utils.metrics import metrics
+
         if fields_boost is None:
             fields_boost = [1.0] * self.num_fields
         k = top_k or self.config.default_top_k
-        plan = self.plan_batch(queries, tokenizer)
+        metrics.inc("queries_submitted", len(queries))
+        with metrics.timer("query/plan"):
+            plan = self.plan_batch(queries, tokenizer)
         if plan is None:
             return PendingBatch(self, len(queries), [])
-        dispatches = self.pack_dispatches(len(queries), plan)
+        with metrics.timer("query/pack"):
+            dispatches = self.pack_dispatches(len(queries), plan)
+        metrics.inc("dispatches", len(dispatches))
         step = _get_step(scorer)
         boost_arr = jnp.asarray(np.asarray(fields_boost, dtype=np.float32))
         parts = []
@@ -623,11 +629,17 @@ class PendingBatch:
         self._parts = parts
 
     def get(self) -> List[List[QueryResult]]:
+        from ..utils.metrics import metrics
+
         results: List[List[QueryResult]] = [[] for _ in range(self._n)]
+        with metrics.timer("query/drain"):
+            self._drain(results)
+        return results
+
+    def _drain(self, results) -> None:
         for idxs, top_scores, top_docs in self._parts:
             rows = self._dix.to_results(
                 np.asarray(top_scores)[: len(idxs)], np.asarray(top_docs)[: len(idxs)]
             )
             for i, row in zip(idxs, rows):
                 results[int(i)] = row
-        return results

@@ -153,9 +153,10 @@ def _merge_kernel(k: int, qterm_bits: int, key_ref, score_ref, out_s_ref, out_d_
     out_d_ref[0] = out_d
 
 
-def pick_rows_per_block(B: int, L: int, bytes_per_lane: int = 80, budget: int = 13 << 20) -> int:
-    """Rows per kernel block, bounded by a VMEM budget (~80B of live
-    intermediates per lane measured for the merge pipeline)."""
+def pick_rows_per_block(B: int, L: int, bytes_per_lane: int = 150, budget: int = 13 << 20) -> int:
+    """Rows per kernel block, bounded by a VMEM budget (Mosaic's scoped
+    stack for the merge pipeline measures ~140B of live intermediates per
+    lane — sort and scan stage buffers are kept live)."""
     rows = 8
     while rows > 1 and rows * L * bytes_per_lane > budget:
         rows //= 2

@@ -168,7 +168,7 @@ def _query_step_impl(
         _FUSED_MODE != "off"
         and df_reduce is None
         and (L & (L - 1)) == 0
-        and L <= 16384  # wider rows exceed VMEM even at 1 row/block
+        and L <= 32768  # in-place merge pipeline VMEM bound
         and (_FUSED_MODE == "interpret" or jax.default_backend() != "cpu")
     ):
         from ..ops.pallas_query import fused_query_topk
@@ -245,21 +245,64 @@ def _query_step_impl(
     ).reshape(B, L)
     score = score.reshape(B, L)
     # Fused Pallas merge on TPU (VMEM-resident sort+scan+topk; ~20x the XLA
-    # merge); XLA merge elsewhere (CPU tests, interpret-unfriendly shapes).
-    if jax.default_backend() != "cpu" and (L & (L - 1)) == 0:
+    # merge); XLA merge elsewhere (CPU tests, and lane widths whose unrolled
+    # sort network exceeds Mosaic's scoped VMEM stack).
+    if jax.default_backend() != "cpu" and (L & (L - 1)) == 0 and L <= 32768:
         from ..ops.pallas_merge import merge_scores_topk_pallas
 
         return merge_scores_topk_pallas(key, score, k, qterm_bits)
     return merge_scores_topk(key, score, k, qterm_bits)
 
 
+def _multi_step_impl(
+    scorer,
+    rec,
+    field_avg,
+    n_docs,
+    fields_boost,
+    *jobs_list,
+    chunk: int,
+    k: int,
+    qterm_bits: int,
+    num_fields: int,
+    class_ncs,
+):
+    """Execute every shape class of a query window in ONE device program.
+
+    Per-dispatch round trips dominate on tunneled devices; fusing the
+    classes into one jit call pays the round trip once per window instead
+    of once per class."""
+    outs = []
+    for nc, jobs_flat in zip(class_ncs, jobs_list):
+        outs.append(
+            _query_step_impl(
+                scorer,
+                chunk=chunk,
+                k=min(k, nc * chunk),
+                qterm_bits=qterm_bits,
+                num_fields=num_fields,
+                num_chunks=nc,
+                rec=rec,
+                field_avg=field_avg,
+                n_docs=n_docs,
+                fields_boost=fields_boost,
+                jobs_flat=jobs_flat,
+            )
+        )
+    return tuple(outs)
+
+
 _STEP_CACHE: Dict[Any, Any] = {}
+
+
+def _scorer_cache_key(scorer):
+    key = getattr(scorer, "device_cache_key", None)
+    return key() if callable(key) else ("id", id(scorer))
 
 
 def _get_step(scorer) -> Any:
     """Jitted step per scorer configuration (compile cache)."""
-    key = getattr(scorer, "device_cache_key", None)
-    key = key() if callable(key) else ("id", id(scorer))
+    key = ("single", _scorer_cache_key(scorer))
     fn = _STEP_CACHE.get(key)
     if fn is None:
         from functools import partial
@@ -267,6 +310,21 @@ def _get_step(scorer) -> Any:
         fn = jax.jit(
             partial(_query_step_impl, scorer),
             static_argnames=("chunk", "k", "qterm_bits", "num_fields", "num_chunks"),
+        )
+        _STEP_CACHE[key] = fn
+    return fn
+
+
+def _get_multi_step(scorer) -> Any:
+    """Jitted multi-class window step (one round trip per window)."""
+    key = ("multi", _scorer_cache_key(scorer))
+    fn = _STEP_CACHE.get(key)
+    if fn is None:
+        from functools import partial
+
+        fn = jax.jit(
+            partial(_multi_step_impl, scorer),
+            static_argnames=("chunk", "k", "qterm_bits", "num_fields", "class_ncs"),
         )
         _STEP_CACHE[key] = fn
     return fn
@@ -304,10 +362,11 @@ class PlannedJobs:
 class DeviceIndex:
     """Device-resident snapshot of an Index at a given version."""
 
-    # Postings per chunk.  Slice-gather cost is dominated by a per-slice
-    # overhead (~1.5us), not bytes, so fatter chunks win even though small
-    # posting lists pad a whole chunk.
-    CHUNK = 2048
+    # Postings per chunk (the DMA slice width of the fused kernel; 128 of
+    # each chunk is alignment slack).  Smaller chunks waste fewer lanes on
+    # short posting lists and keep merge widths small; the fused kernel's
+    # DMA engine makes per-slice overhead negligible.
+    CHUNK = 512
     LANES_PER_DISPATCH = 1 << 23  # ~8M lanes -> ~128MB gather per dispatch
     NC_BUCKETS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
     NJ_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
@@ -589,23 +648,28 @@ class DeviceIndex:
         with metrics.timer("query/pack"):
             dispatches = self.pack_dispatches(len(queries), plan)
         metrics.inc("dispatches", len(dispatches))
-        step = _get_step(scorer)
         boost_arr = jnp.asarray(np.asarray(fields_boost, dtype=np.float32))
-        parts = []
-        for idxs, jobs_flat, nc, nj in dispatches:
-            top_scores, top_docs = step(
-                chunk=self.CHUNK,
-                k=min(k, nc * self.CHUNK),
-                qterm_bits=self._qterm_bits,
-                num_fields=self.num_fields,
-                num_chunks=nc,
-                rec=self.rec,
-                field_avg=self.field_avg,
-                n_docs=jnp.float32(self.n_docs),
-                fields_boost=boost_arr,
-                jobs_flat=jnp.asarray(jobs_flat),
-            )
-            parts.append((idxs, top_scores, top_docs))
+        # Order classes deterministically so the jit cache key (the tuple of
+        # class shapes) is stable across windows with the same composition.
+        dispatches.sort(key=lambda d: (d[2], d[3], d[1].shape[0]))
+        class_ncs = tuple(nc for _, _, nc, _ in dispatches)
+        step = _get_multi_step(scorer)
+        outs = step(
+            self.rec,
+            self.field_avg,
+            jnp.float32(self.n_docs),
+            boost_arr,
+            *[jnp.asarray(jobs_flat) for _, jobs_flat, _, _ in dispatches],
+            chunk=self.CHUNK,
+            k=k,
+            qterm_bits=self._qterm_bits,
+            num_fields=self.num_fields,
+            class_ncs=class_ncs,
+        )
+        parts = [
+            (idxs, top_scores, top_docs)
+            for (idxs, _, _, _), (top_scores, top_docs) in zip(dispatches, outs)
+        ]
         return PendingBatch(self, len(queries), parts)
 
     def to_results(self, top_scores: np.ndarray, top_docs: np.ndarray):

@@ -109,54 +109,96 @@ def _segmented_scan(op, vals, heads, pos, identity):
     return vals
 
 
-def _merge_kernel(k: int, qterm_bits: int, key_ref, score_ref, out_s_ref, out_d_ref):
-    # refs are [1, rows, L] blocks (3-D so trailing dims equal the array's;
-    # Pallas TPU block rule).
-    key = key_ref[0]
-    score = score_ref[0]
-    rows, L = key.shape
-    pos = _lane_iota(rows, L)
+def _bitonic_sort_inplace(key_ref, val_ref, pos):
+    """Bitonic sort writing every comparator stage through scratch refs.
 
-    key, score = _bitonic_sort(key, score, pos)
+    The functional form keeps O(stages) live [rows, L] buffers on Mosaic's
+    scoped VMEM stack (~280B/lane); storing each stage bounds live memory to
+    the two scratch arrays plus one stage's temporaries, lifting the lane
+    width the kernel can handle.
+    """
+    L = pos.shape[-1]
+    size = 2
+    while size <= L:
+        j = size // 2
+        while j >= 1:
+            key, val = _compare_exchange(key_ref[...], val_ref[...], pos, j, size)
+            key_ref[...] = key
+            val_ref[...] = val
+            j //= 2
+        size *= 2
+
+
+def _segmented_scan_inplace(op, val_ref, head_ref, pos, identity):
+    L = pos.shape[-1]
+    d = 1
+    while d < L:
+        vals = val_ref[...]
+        heads = head_ref[...]
+        sv = _shift_right(vals, pos, d, identity)
+        sh = _shift_right(heads, pos, d, 1)
+        val_ref[...] = jnp.where(heads > 0, vals, op(vals, sv))
+        head_ref[...] = heads | sh
+        d *= 2
+
+
+def merge_body(k: int, qterm_bits: int, key_in, score_in, out_s, out_d, ks, vs, hs):
+    """Shared merge pipeline over scratch refs ks (i32), vs (f32), hs (i32).
+
+    ``key_in``/``score_in`` are [rows, L] values copied into the scratch
+    refs.  Writes [rows, k] outputs through ``out_s``/``out_d`` refs.
+    """
+    rows, L = ks.shape
+    pos = _lane_iota(rows, L)
+    ks[...] = key_in
+    vs[...] = score_in
+
+    _bitonic_sort_inplace(ks, vs, pos)
+    key = ks[...]
 
     # Stage 1: max over runs of equal (doc, qterm) key.
-    head1 = (key != _shift_right(key, pos, 1, -1)).astype(jnp.int32)
-    run_max = _segmented_scan(jnp.maximum, score, head1, pos, _NEG_INF)
+    hs[...] = (key != _shift_right(key, pos, 1, -1)).astype(jnp.int32)
+    _segmented_scan_inplace(jnp.maximum, vs, hs, pos, _NEG_INF)
     tail1 = key != _shift_left(key, pos, 1, -1)
-    contrib = jnp.where(tail1, run_max, 0.0)
+    vs[...] = jnp.where(tail1, vs[...], 0.0)
 
     # Stage 2: sum per-term maxima over runs of equal doc.
     doc = key >> qterm_bits
-    head2 = (doc != _shift_right(doc, pos, 1, -1)).astype(jnp.int32)
-    doc_sum = _segmented_scan(jnp.add, contrib, head2, pos, 0.0)
+    hs[...] = (doc != _shift_right(doc, pos, 1, -1)).astype(jnp.int32)
+    _segmented_scan_inplace(jnp.add, vs, hs, pos, 0.0)
     tail2 = doc != _shift_left(doc, pos, 1, -1)
-
     live = key != INVALID_KEY
-    final = jnp.where(tail2 & live, doc_sum, _NEG_INF)
+    vs[...] = jnp.where(tail2 & live, vs[...], _NEG_INF)
 
     # Iterative top-k (k small); accumulate [rows, k] and store once.
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
-    out_s = jnp.full((rows, k), _NEG_INF, jnp.float32)
-    out_d = jnp.full((rows, k), -1, jnp.int32)
-    vals = final
+    acc_s = jnp.full((rows, k), _NEG_INF, jnp.float32)
+    acc_d = jnp.full((rows, k), -1, jnp.int32)
     for i in range(k):
+        vals = vs[...]
         m = jnp.max(vals, axis=1, keepdims=True)  # [rows, 1]
         ismax = vals == m
         idx = jnp.min(jnp.where(ismax, pos, L), axis=1, keepdims=True)
         sel = pos == idx
         d_sel = jnp.max(jnp.where(sel, doc, -1), axis=1, keepdims=True)
         valid = m > _NEG_INF
-        out_s = jnp.where((col == i) & valid, m, out_s)
-        out_d = jnp.where((col == i) & valid, d_sel, out_d)
-        vals = jnp.where(sel, _NEG_INF, vals)
-    out_s_ref[0] = out_s
-    out_d_ref[0] = out_d
+        acc_s = jnp.where((col == i) & valid, m, acc_s)
+        acc_d = jnp.where((col == i) & valid, d_sel, acc_d)
+        vs[...] = jnp.where(sel, _NEG_INF, vals)
+    out_s[...] = acc_s
+    out_d[...] = acc_d
 
 
-def pick_rows_per_block(B: int, L: int, bytes_per_lane: int = 150, budget: int = 13 << 20) -> int:
-    """Rows per kernel block, bounded by a VMEM budget (Mosaic's scoped
-    stack for the merge pipeline measures ~140B of live intermediates per
-    lane — sort and scan stage buffers are kept live)."""
+def _merge_kernel(k: int, qterm_bits: int, key_ref, score_ref, out_s_ref, out_d_ref, ks, vs, hs):
+    # input/output refs are [1, rows, L] / [1, rows, k] blocks (3-D so
+    # trailing dims equal the array's; Pallas TPU block rule).
+    merge_body(k, qterm_bits, key_ref[0], score_ref[0], out_s_ref.at[0], out_d_ref.at[0], ks, vs, hs)
+
+
+def pick_rows_per_block(B: int, L: int, bytes_per_lane: int = 60, budget: int = 12 << 20) -> int:
+    """Rows per kernel block, bounded by a VMEM budget.  The in-place merge
+    pipeline keeps three scratch arrays plus one stage's temporaries live
+    (~60B/lane)."""
     rows = 8
     while rows > 1 and rows * L * bytes_per_lane > budget:
         rows //= 2
@@ -193,6 +235,11 @@ def merge_scores_topk_pallas(
         out_shape=[
             jax.ShapeDtypeStruct((G, rows, k), jnp.float32),
             jax.ShapeDtypeStruct((G, rows, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, L), jnp.int32),
+            pltpu.VMEM((rows, L), jnp.float32),
+            pltpu.VMEM((rows, L), jnp.int32),
         ],
         interpret=interpret,
     )(key.reshape(G, rows, L), score.reshape(G, rows, L))

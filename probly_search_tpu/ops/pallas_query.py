@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .merge import INVALID_KEY
-from .pallas_merge import _bitonic_sort, _lane_iota, _segmented_scan, _shift_left, _shift_right
+from .pallas_merge import merge_body
 
 _NEG_INF = float("-inf")
 
@@ -53,6 +53,9 @@ def _query_kernel(
     out_s_ref,  # VMEM [1, ROWS, k] f32
     out_d_ref,  # VMEM [1, ROWS, k] int32
     g_ref,  # scratch VMEM [ROWS, NC, R, C] int32
+    ks,  # scratch VMEM [ROWS, L] int32 (merge keys)
+    vs,  # scratch VMEM [ROWS, L] f32 (merge values)
+    hs,  # scratch VMEM [ROWS, L] int32 (scan heads)
     sem,  # DMA sems [ROWS, NC]
 ):
     ROWS = c_len_ref.shape[1]
@@ -119,39 +122,19 @@ def _query_kernel(
     score = scorer.device_score_lanes(lanes)  # [ROWS, NC, C]
 
     key = jnp.where(live, (doc << qterm_bits) | c_qterm[..., None], INVALID_KEY)
-    key = key.reshape(ROWS, L)
-    score = score.reshape(ROWS, L)
 
-    # ---- merge + top-k (VMEM-resident) --------------------------------- #
-    pos = _lane_iota(ROWS, L)
-    key, score = _bitonic_sort(key, score, pos)
-    head1 = (key != _shift_right(key, pos, 1, -1)).astype(jnp.int32)
-    run_max = _segmented_scan(jnp.maximum, score, head1, pos, _NEG_INF)
-    tail1 = key != _shift_left(key, pos, 1, -1)
-    contrib = jnp.where(tail1, run_max, 0.0)
-    doc_s = key >> qterm_bits
-    head2 = (doc_s != _shift_right(doc_s, pos, 1, -1)).astype(jnp.int32)
-    doc_sum = _segmented_scan(jnp.add, contrib, head2, pos, 0.0)
-    tail2 = doc_s != _shift_left(doc_s, pos, 1, -1)
-    live_s = key != INVALID_KEY
-    final = jnp.where(tail2 & live_s, doc_sum, _NEG_INF)
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, k), 1)
-    out_s = jnp.full((ROWS, k), _NEG_INF, jnp.float32)
-    out_d = jnp.full((ROWS, k), -1, jnp.int32)
-    vals = final
-    for i in range(k):
-        m = jnp.max(vals, axis=1, keepdims=True)
-        ismax = vals == m
-        idx = jnp.min(jnp.where(ismax, pos, L), axis=1, keepdims=True)
-        sel = pos == idx
-        d_sel = jnp.max(jnp.where(sel, doc_s, -1), axis=1, keepdims=True)
-        valid = m > _NEG_INF
-        out_s = jnp.where((col == i) & valid, m, out_s)
-        out_d = jnp.where((col == i) & valid, d_sel, out_d)
-        vals = jnp.where(sel, _NEG_INF, vals)
-    out_s_ref[0] = out_s
-    out_d_ref[0] = out_d
+    # ---- merge + top-k (VMEM-resident, in-place pipeline) --------------- #
+    merge_body(
+        k,
+        qterm_bits,
+        key.reshape(ROWS, L),
+        score.reshape(ROWS, L),
+        out_s_ref.at[0],
+        out_d_ref.at[0],
+        ks,
+        vs,
+        hs,
+    )
 
 
 def fused_query_topk(
@@ -183,11 +166,11 @@ def fused_query_topk(
     R0 = rec.shape[0]
     from .pallas_merge import pick_rows_per_block
 
-    # Mosaic's scoped-stack allocation for this kernel measures ~640B/lane
-    # (sort + scan stage buffers are kept live) plus the gather scratch.
+    # In-place merge pipeline: ~60B/lane live (three scratch arrays + one
+    # stage's temporaries) plus the gather scratch.
     rows = min(
         rows_per_block,
-        pick_rows_per_block(B, NC * chunk, bytes_per_lane=640 + 4 * R0),
+        pick_rows_per_block(B, NC * chunk, bytes_per_lane=60 + 4 * R0),
     )
     rows = min(rows, B)
     while B % rows:
@@ -232,6 +215,9 @@ def fused_query_topk(
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, NC, R, C), jnp.int32),
+            pltpu.VMEM((rows, NC * C), jnp.int32),
+            pltpu.VMEM((rows, NC * C), jnp.float32),
+            pltpu.VMEM((rows, NC * C), jnp.int32),
             pltpu.SemaphoreType.DMA((rows, NC)),
         ],
         interpret=interpret,

@@ -40,3 +40,7 @@ class IndexConfig:
     score_dtype: str = "float32"
     # Default top-k for the device query path.
     default_top_k: int = 10
+    # Fuse all shape classes of a query window into one jitted dispatch
+    # (single device round trip per window).  Expensive to compile on
+    # remote-compile setups; see index/device.py.
+    single_dispatch_windows: bool = False

@@ -168,7 +168,7 @@ def _query_step_impl(
         _FUSED_MODE != "off"
         and df_reduce is None
         and (L & (L - 1)) == 0
-        and L <= 32768  # in-place merge pipeline VMEM bound
+        and L <= 16384  # larger unrolled sort networks compile pathologically
         and (_FUSED_MODE == "interpret" or jax.default_backend() != "cpu")
     ):
         from ..ops.pallas_query import fused_query_topk
@@ -247,7 +247,7 @@ def _query_step_impl(
     # Fused Pallas merge on TPU (VMEM-resident sort+scan+topk; ~20x the XLA
     # merge); XLA merge elsewhere (CPU tests, and lane widths whose unrolled
     # sort network exceeds Mosaic's scoped VMEM stack).
-    if jax.default_backend() != "cpu" and (L & (L - 1)) == 0 and L <= 32768:
+    if jax.default_backend() != "cpu" and (L & (L - 1)) == 0 and L <= 16384:
         from ..ops.pallas_merge import merge_scores_topk_pallas
 
         return merge_scores_topk_pallas(key, score, k, qterm_bits)
@@ -649,27 +649,48 @@ class DeviceIndex:
             dispatches = self.pack_dispatches(len(queries), plan)
         metrics.inc("dispatches", len(dispatches))
         boost_arr = jnp.asarray(np.asarray(fields_boost, dtype=np.float32))
-        # Order classes deterministically so the jit cache key (the tuple of
-        # class shapes) is stable across windows with the same composition.
         dispatches.sort(key=lambda d: (d[2], d[3], d[1].shape[0]))
-        class_ncs = tuple(nc for _, _, nc, _ in dispatches)
-        step = _get_multi_step(scorer)
-        outs = step(
-            self.rec,
-            self.field_avg,
-            jnp.float32(self.n_docs),
-            boost_arr,
-            *[jnp.asarray(jobs_flat) for _, jobs_flat, _, _ in dispatches],
-            chunk=self.CHUNK,
-            k=k,
-            qterm_bits=self._qterm_bits,
-            num_fields=self.num_fields,
-            class_ncs=class_ncs,
-        )
-        parts = [
-            (idxs, top_scores, top_docs)
-            for (idxs, _, _, _), (top_scores, top_docs) in zip(dispatches, outs)
-        ]
+        if self.config.single_dispatch_windows:
+            # One jitted program per window composition: pays the dispatch
+            # round trip once per window.  Off by default: the combined
+            # program (several unrolled sort networks) compiles extremely
+            # slowly on the remote compiler; enable where compiles are local
+            # or window compositions are stable.
+            class_ncs = tuple(nc for _, _, nc, _ in dispatches)
+            step = _get_multi_step(scorer)
+            outs = step(
+                self.rec,
+                self.field_avg,
+                jnp.float32(self.n_docs),
+                boost_arr,
+                *[jnp.asarray(jobs_flat) for _, jobs_flat, _, _ in dispatches],
+                chunk=self.CHUNK,
+                k=k,
+                qterm_bits=self._qterm_bits,
+                num_fields=self.num_fields,
+                class_ncs=class_ncs,
+            )
+            parts = [
+                (idxs, top_scores, top_docs)
+                for (idxs, _, _, _), (top_scores, top_docs) in zip(dispatches, outs)
+            ]
+            return PendingBatch(self, len(queries), parts)
+        step = _get_step(scorer)
+        parts = []
+        for idxs, jobs_flat, nc, nj in dispatches:
+            top_scores, top_docs = step(
+                chunk=self.CHUNK,
+                k=min(k, nc * self.CHUNK),
+                qterm_bits=self._qterm_bits,
+                num_fields=self.num_fields,
+                num_chunks=nc,
+                rec=self.rec,
+                field_avg=self.field_avg,
+                n_docs=jnp.float32(self.n_docs),
+                fields_boost=boost_arr,
+                jobs_flat=jnp.asarray(jobs_flat),
+            )
+            parts.append((idxs, top_scores, top_docs))
         return PendingBatch(self, len(queries), parts)
 
     def to_results(self, top_scores: np.ndarray, top_docs: np.ndarray):

@@ -23,4 +23,14 @@ g.dryrun_multichip(8)
 print("entry points OK")
 EOF
 
+echo "== dryrun self-provisioning (driver contract: 1 ambient device) =="
+JAX_PLATFORMS=cpu python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 1, jax.devices()
+import __graft_entry__ as g
+g.dryrun_multichip(8)  # must re-exec onto a virtual 8-device CPU mesh
+print("self-provisioning OK")
+EOF
+
 echo "CI OK"

@@ -40,7 +40,9 @@ class IndexConfig:
     score_dtype: str = "float32"
     # Default top-k for the device query path.
     default_top_k: int = 10
-    # Fuse all shape classes of a query window into one jitted dispatch
-    # (single device round trip per window).  Expensive to compile on
-    # remote-compile setups; see index/device.py.
-    single_dispatch_windows: bool = False
+    # Fuse all shape classes of a query window into one jitted dispatch with
+    # one packed input buffer and one packed result fetch (single device
+    # round trip + single transfer pair per window).  Compiles once per
+    # window composition; the persistent compile cache makes that a
+    # first-run cost.  See index/device.py `_window_step_impl`.
+    single_dispatch_windows: bool = True

@@ -48,6 +48,18 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
     for k in existing:
         index.remove_document(k)
 
+    # Intra-batch duplicate keys: sequential ``add_document`` semantics are
+    # "remove then re-add" (core.py), so earlier occurrences become latently
+    # dead slots — their postings stay until vacuum, their stats net to
+    # zero, and the key lands in the removed set (matching the sequential
+    # path's remove_document call on re-add).
+    last_of = {k: i for i, k in enumerate(keys)}
+    is_last = np.fromiter((last_of[k] == i for i, k in enumerate(keys)), bool, n_new)
+    if not is_last.all():
+        for i, k in enumerate(keys):
+            if not is_last[i]:
+                index._removed_keys.add(k)
+
     index._flush_pending()
 
     # --- tokenize + intern per field --------------------------------------
@@ -100,20 +112,22 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
         index._alive = alive
     slots = np.arange(base_slot, base_slot + n_new, dtype=np.int64)
     index._doc_len[base_slot : base_slot + n_new] = field_length
-    index._alive[base_slot : base_slot + n_new] = True
+    index._alive[base_slot : base_slot + n_new] = is_last
     index._next_slot = base_slot + n_new
     index._slot_to_key.extend(keys)
     for i, k in enumerate(keys):
-        index._key_to_slot[k] = base_slot + i
-        # field_length rows are views into the doc matrix (values are copied
-        # forward on growth, so views stay correct).
-        index._docs[k] = DocumentDetails(key=k, field_length=field_length[i])
+        if is_last[i]:
+            index._key_to_slot[k] = base_slot + i
+            # field_length rows are views into the doc matrix (values are
+            # copied forward on growth, so views stay correct).
+            index._docs[k] = DocumentDetails(key=k, field_length=field_length[i])
 
-    # --- field stats (end-state of sequential bookkeeping) ----------------
+    # --- field stats (end-state of sequential bookkeeping; duplicates'
+    # earlier occurrences net to zero through the remove) ------------------
     n_docs_after = len(index._docs)
     for f in range(F):
         fd = index._fields[f]
-        fd.sum += int(field_len_cols[f].sum())
+        fd.sum += int(field_len_cols[f][is_last].sum())
         fd.avg = fd.sum / float(n_docs_after)
 
     # --- merge field-local term tables into one global sorted table -------

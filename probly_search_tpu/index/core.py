@@ -435,10 +435,20 @@ class Index:
                 "device scorer protocol; use backend='exact'"
             )
         if backend in ("auto", "device") and device_capable:
-            dix = self.device_index()
-            return dix.query_batch(
-                queries, score_calculator, tokenizer, fields_boost, top_k=k
-            )
+            try:
+                dix = self.device_index()
+            except ValueError:
+                if backend == "device":
+                    raise
+                # e.g. doc slots exceed single-chip merge-key capacity:
+                # degrade to the exact host path (or shard via parallel/).
+                from ..utils.metrics import metrics
+
+                metrics.inc("device_snapshot_fallbacks")
+            else:
+                return dix.query_batch(
+                    queries, score_calculator, tokenizer, fields_boost, top_k=k
+                )
         # Host fallback: vectorized execution when the scorer provides it
         # (zero-to-one's lockstep finalize), else the exact per-posting path.
         vq = getattr(score_calculator, "vectorized_query", None)

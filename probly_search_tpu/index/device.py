@@ -46,7 +46,7 @@ full posting set.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Set
 
 import numpy as np
 
@@ -239,6 +239,11 @@ def _query_step_impl(
         qterm=c_qterm,
     )
     score = scorer.device_score_lanes(lanes)  # [B, NC, C]
+    if getattr(scorer, "device_excludes_nonpositive", False):
+        # Host semantics: score() returns None for totals <= 0, so those
+        # postings never enter the merge (bm25.rs:89-92).  A doc whose every
+        # contribution is non-positive must be absent from the results.
+        live = live & (score > 0.0)
 
     key = jnp.where(
         live, (doc << qterm_bits) | c_qterm[..., None], INVALID_KEY
@@ -254,42 +259,60 @@ def _query_step_impl(
     return merge_scores_topk(key, score, k, qterm_bits)
 
 
-def _multi_step_impl(
+def _window_step_impl(
     scorer,
     rec,
     field_avg,
     n_docs,
     fields_boost,
-    *jobs_list,
+    words_flat,
+    *,
     chunk: int,
     k: int,
     qterm_bits: int,
     num_fields: int,
-    class_ncs,
+    class_specs,
 ):
     """Execute every shape class of a query window in ONE device program.
 
-    Per-dispatch round trips dominate on tunneled devices; fusing the
-    classes into one jit call pays the round trip once per window instead
-    of once per class."""
+    Per-dispatch round trips dominate on tunneled devices (~29 ms each,
+    non-pipelining), and every host<->device array transfer pays its own
+    fixed cost — so the whole window is one jit call over ONE packed input
+    buffer, returning ONE packed output array:
+
+    * ``words_flat`` int32[total] — every class's [B_pad, NJ*3] job table,
+      concatenated.  ``class_specs`` = ((b_pad, nj, nc), ...) statically
+      describes the layout.
+    * returns int32[sum(b_pad), 2, k]: row 0 = scores (f32 bits), row 1 =
+      doc slots — a single D2H fetch drains the window.
+    """
     outs = []
-    for nc, jobs_flat in zip(class_ncs, jobs_list):
-        outs.append(
-            _query_step_impl(
-                scorer,
-                chunk=chunk,
-                k=min(k, nc * chunk),
-                qterm_bits=qterm_bits,
-                num_fields=num_fields,
-                num_chunks=nc,
-                rec=rec,
-                field_avg=field_avg,
-                n_docs=n_docs,
-                fields_boost=fields_boost,
-                jobs_flat=jobs_flat,
-            )
+    off = 0
+    for b_pad, nj, nc in class_specs:
+        n = b_pad * nj * 3
+        jobs_flat = words_flat[off : off + n].reshape(b_pad, nj * 3)
+        off += n
+        kk = min(k, nc * chunk)
+        s, d = _query_step_impl(
+            scorer,
+            chunk=chunk,
+            k=kk,
+            qterm_bits=qterm_bits,
+            num_fields=num_fields,
+            num_chunks=nc,
+            rec=rec,
+            field_avg=field_avg,
+            n_docs=n_docs,
+            fields_boost=fields_boost,
+            jobs_flat=jobs_flat,
         )
-    return tuple(outs)
+        if kk < k:
+            s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+            d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=-1)
+        outs.append(
+            jnp.stack([jax.lax.bitcast_convert_type(s, jnp.int32), d], axis=1)
+        )
+    return jnp.concatenate(outs, axis=0)  # [sum(B_pad), 2, k]
 
 
 _STEP_CACHE: Dict[Any, Any] = {}
@@ -315,16 +338,16 @@ def _get_step(scorer) -> Any:
     return fn
 
 
-def _get_multi_step(scorer) -> Any:
-    """Jitted multi-class window step (one round trip per window)."""
-    key = ("multi", _scorer_cache_key(scorer))
+def _get_window_step(scorer) -> Any:
+    """Jitted whole-window step (one round trip per window)."""
+    key = ("window", _scorer_cache_key(scorer))
     fn = _STEP_CACHE.get(key)
     if fn is None:
         from functools import partial
 
         fn = jax.jit(
-            partial(_multi_step_impl, scorer),
-            static_argnames=("chunk", "k", "qterm_bits", "num_fields", "class_ncs"),
+            partial(_window_step_impl, scorer),
+            static_argnames=("chunk", "k", "qterm_bits", "num_fields", "class_specs"),
         )
         _STEP_CACHE[key] = fn
     return fn
@@ -401,6 +424,14 @@ class DeviceIndex:
         # --- posting record array ----------------------------------------
         S = index._next_slot
         self.num_slots = S
+        self._qterm_bits = _QT_BITS
+        # Capacity checks BEFORE the expensive array build, so callers can
+        # catch cheaply and degrade (e.g. Index.query_batch host fallback).
+        if S >= (1 << (31 - self._qterm_bits)):
+            raise ValueError(
+                f"doc slots ({S}) exceed the packed int32 merge-key capacity; "
+                f"shard the index over more devices (parallel/)"
+            )
         P = self.num_postings
         # TRANSPOSED layout [R, P + C]: chunk gathers become [R, C] slices
         # with the chunk dimension minor (a [C, R] layout pads R to 128
@@ -424,38 +455,34 @@ class DeviceIndex:
         self.n_docs = float(len(index._docs))
         self.slot_to_key = list(index._slot_to_key)
 
-        self._qterm_bits = _QT_BITS
-        if self.config.max_query_terms > (1 << _QT_BITS):
-            raise ValueError(
-                f"max_query_terms > {1 << _QT_BITS} unsupported on the device "
-                f"path (packed job words); use the host path"
-            )
-        if S >= (1 << (31 - self._qterm_bits)):
-            raise ValueError(
-                f"doc slots ({S}) exceed the packed int32 merge-key capacity; "
-                f"shard the index over more devices (parallel/)"
-            )
 
     # ------------------------------------------------------------------ #
     # planning (host, vectorized)                                         #
     # ------------------------------------------------------------------ #
 
-    def plan_batch(self, queries: Sequence[str], tokenizer) -> Optional[PlannedJobs]:
-        """Plan a batch into a flat job table (all-numpy, no per-term loop)."""
+    def plan_batch(self, queries: Sequence[str], tokenizer):
+        """Plan a batch into a flat job table (all-numpy, no per-term loop).
+
+        Returns ``(PlannedJobs | None, fallback)`` where ``fallback`` lists
+        the indices of queries that exceed a device-path cap (too many
+        terms, expansions, or df groups).  Those queries degrade to the
+        exact host path per query instead of failing the whole batch — the
+        host path has no caps, matching the reference.
+        """
         cfg = self.config
         B = len(queries)
+        fallback: List[int] = []
 
         tok_lists = [[t for t in tokenizer(q) if t] for q in queries]
-        for toks in tok_lists:
-            if len(toks) > cfg.max_query_terms:
-                raise ValueError(
-                    f"query has {len(toks)} terms > max_query_terms="
-                    f"{cfg.max_query_terms}; raise the config knob"
-                )
+        max_terms = min(cfg.max_query_terms, 1 << self._qterm_bits)
+        for qi, toks in enumerate(tok_lists):
+            if len(toks) > max_terms:
+                fallback.append(qi)
+                tok_lists[qi] = []
         counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
         total_terms = int(counts.sum())
         if total_terms == 0 or self.num_postings == 0:
-            return None
+            return None, fallback
         flat_query = np.repeat(np.arange(B, dtype=np.int64), counts)
         flat_qterm = _segment_arange(counts).astype(np.int64)
         flat_terms = np.asarray([t for toks in tok_lists for t in toks], dtype=np.str_)
@@ -482,7 +509,7 @@ class DeviceIndex:
                 (jidx, start, length, terms[tid], self.seg_term_lens[si][tid].astype(np.int64))
             )
         if not job_parts:
-            return None
+            return None, fallback
         jidx = np.concatenate([p[0] for p in job_parts])
         jstart = np.concatenate([p[1] for p in job_parts])
         jlen = np.concatenate([p[2] for p in job_parts])
@@ -494,7 +521,7 @@ class DeviceIndex:
             jidx[keep], jstart[keep], jlen[keep], jexp[keep], jblen[keep]
         )
         if len(jidx) == 0:
-            return None
+            return None, fallback
 
         # df groups: unify jobs of the same (query term, expanded term)
         # across segments (sort by term idx + expansion string; run
@@ -508,13 +535,6 @@ class DeviceIndex:
         group_global = np.cumsum(new_group) - 1
 
         per_term_groups = np.bincount(jidx[new_group], minlength=total_terms)
-        if per_term_groups.max(initial=0) > cfg.max_expansions:
-            bad = int(np.argmax(per_term_groups))
-            raise ValueError(
-                f"query term {flat_terms[bad]!r} expands to "
-                f"{int(per_term_groups[bad])} terms (> max_expansions="
-                f"{cfg.max_expansions}); raise the knob or use the host path"
-            )
 
         # Expansion boost (bm25.rs:44-55; byte lengths).
         exact = jexp == flat_terms[jidx]
@@ -530,11 +550,23 @@ class DeviceIndex:
         np.add.at(qstart, group_query + 1, 1)
         qstart = np.cumsum(qstart)
         group_local = group_global - qstart[jquery]
-        if group_local.max(initial=0) > _MAX_GROUPS:
-            raise ValueError(
-                f"a query needs {int(group_local.max()) + 1} df groups "
-                f"(> {_MAX_GROUPS + 1}); reduce query terms or expansions"
+
+        # Cap-exceeding queries degrade to the host path (graceful — the
+        # packed job words can't express them, but the exact path can).
+        bad: Set[int] = set()
+        over_exp = np.flatnonzero(per_term_groups > cfg.max_expansions)
+        bad.update(int(q) for q in flat_query[over_exp])
+        over_grp = group_local > _MAX_GROUPS
+        bad.update(int(q) for q in np.unique(jquery[over_grp]))
+        if bad:
+            fallback.extend(sorted(bad))
+            keep2 = ~np.isin(jquery, np.fromiter(bad, dtype=np.int64))
+            jidx, jstart, jlen, jquery, group_local, boost = (
+                jidx[keep2], jstart[keep2], jlen[keep2], jquery[keep2],
+                group_local[keep2], boost[keep2],
             )
+            if len(jidx) == 0:
+                return None, fallback
 
         # Split jobs longer than the packed-length capacity (same group, so
         # df/idf and scores are unchanged).
@@ -567,7 +599,7 @@ class DeviceIndex:
             words=words,
             nchunks=nchunks.astype(np.int64),
             njobs=njobs.astype(np.int64),
-        )
+        ), fallback
 
     def pack_dispatches(self, n_queries: int, plan: PlannedJobs):
         """Bucket queries into shape classes and pack dispatch job tables.
@@ -642,39 +674,63 @@ class DeviceIndex:
         k = top_k or self.config.default_top_k
         metrics.inc("queries_submitted", len(queries))
         with metrics.timer("query/plan"):
-            plan = self.plan_batch(queries, tokenizer)
+            plan, fallback = self.plan_batch(queries, tokenizer)
+        host_rows = None
+        if fallback:
+            # Graceful degradation: cap-exceeding queries run on the exact
+            # host path (which has no caps) instead of failing the batch.
+            metrics.inc("device_fallback_queries", len(fallback))
+            with metrics.timer("query/host_fallback"):
+                host_rows = {
+                    qi: self._index.query(
+                        queries[qi], scorer, tokenizer, fields_boost, top_k=k
+                    )
+                    for qi in fallback
+                }
         if plan is None:
-            return PendingBatch(self, len(queries), [])
+            return PendingBatch(self, len(queries), [], host_rows=host_rows)
         with metrics.timer("query/pack"):
             dispatches = self.pack_dispatches(len(queries), plan)
         metrics.inc("dispatches", len(dispatches))
         boost_arr = jnp.asarray(np.asarray(fields_boost, dtype=np.float32))
         dispatches.sort(key=lambda d: (d[2], d[3], d[1].shape[0]))
         if self.config.single_dispatch_windows:
-            # One jitted program per window composition: pays the dispatch
-            # round trip once per window.  Off by default: the combined
-            # program (several unrolled sort networks) compiles extremely
-            # slowly on the remote compiler; enable where compiles are local
-            # or window compositions are stable.
-            class_ncs = tuple(nc for _, _, nc, _ in dispatches)
-            step = _get_multi_step(scorer)
-            outs = step(
-                self.rec,
-                self.field_avg,
-                jnp.float32(self.n_docs),
-                boost_arr,
-                *[jnp.asarray(jobs_flat) for _, jobs_flat, _, _ in dispatches],
-                chunk=self.CHUNK,
-                k=k,
-                qterm_bits=self._qterm_bits,
-                num_fields=self.num_fields,
-                class_ncs=class_ncs,
+            # One jitted program per window composition, one packed H2D
+            # buffer, one packed D2H result: the whole window pays the
+            # dispatch round trip and the per-transfer fixed costs ONCE.
+            # Compiles once per composition (persistent compile cache makes
+            # that a first-run cost).
+            class_specs = tuple(
+                (jobs_flat.shape[0], nj, nc) for _, jobs_flat, nc, nj in dispatches
             )
-            parts = [
-                (idxs, top_scores, top_docs)
-                for (idxs, _, _, _), (top_scores, top_docs) in zip(dispatches, outs)
-            ]
-            return PendingBatch(self, len(queries), parts)
+            with metrics.timer("query/h2d"):
+                words_flat = jnp.asarray(
+                    np.concatenate(
+                        [jf.reshape(-1) for _, jf, _, _ in dispatches]
+                    )
+                )
+            step = _get_window_step(scorer)
+            with metrics.timer("query/dispatch"):
+                packed = step(
+                    self.rec,
+                    self.field_avg,
+                    jnp.float32(self.n_docs),
+                    boost_arr,
+                    words_flat,
+                    chunk=self.CHUNK,
+                    k=k,
+                    qterm_bits=self._qterm_bits,
+                    num_fields=self.num_fields,
+                    class_specs=class_specs,
+                )
+            layout = []
+            row = 0
+            for (idxs, _, _, _), (b_pad, _, _) in zip(dispatches, class_specs):
+                layout.append((idxs, row))
+                row += b_pad
+            return PendingBatch(
+                self, len(queries), [], packed=packed, layout=layout, host_rows=host_rows
+            )
         step = _get_step(scorer)
         parts = []
         for idxs, jobs_flat, nc, nj in dispatches:
@@ -691,7 +747,7 @@ class DeviceIndex:
                 jobs_flat=jnp.asarray(jobs_flat),
             )
             parts.append((idxs, top_scores, top_docs))
-        return PendingBatch(self, len(queries), parts)
+        return PendingBatch(self, len(queries), parts, host_rows=host_rows)
 
     def to_results(self, top_scores: np.ndarray, top_docs: np.ndarray):
         out: List[List[QueryResult]] = []
@@ -708,10 +764,15 @@ class DeviceIndex:
 class PendingBatch:
     """Handle for an in-flight query batch; ``.get()`` blocks and assembles."""
 
-    def __init__(self, dix: "DeviceIndex", n: int, parts) -> None:
+    def __init__(
+        self, dix: "DeviceIndex", n: int, parts, packed=None, layout=None, host_rows=None
+    ) -> None:
         self._dix = dix
         self._n = n
         self._parts = parts
+        self._packed = packed  # int32[sum(B_pad), 2, k] window result
+        self._layout = layout  # [(query_indices, row_offset), ...]
+        self._host_rows = host_rows  # {query_index: results} from fallback
 
     def get(self) -> List[List[QueryResult]]:
         from ..utils.metrics import metrics
@@ -722,6 +783,20 @@ class PendingBatch:
         return results
 
     def _drain(self, results) -> None:
+        if self._host_rows:
+            for qi, row in self._host_rows.items():
+                results[qi] = row
+        if self._packed is not None:
+            packed = np.asarray(self._packed)  # single D2H fetch
+            scores = packed[:, 0, :].view(np.float32)
+            docs = packed[:, 1, :]
+            for idxs, row in self._layout:
+                rows = self._dix.to_results(
+                    scores[row : row + len(idxs)], docs[row : row + len(idxs)]
+                )
+                for i, r in zip(idxs, rows):
+                    results[int(i)] = r
+            return
         for idxs, top_scores, top_docs in self._parts:
             rows = self._dix.to_results(
                 np.asarray(top_scores)[: len(idxs)], np.asarray(top_docs)[: len(idxs)]

@@ -23,18 +23,29 @@ from ..config import IndexConfig
 from ..models.base import DocumentDetails, FieldDetails
 from .segment import Segment
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def _pack_terms(terms: List[str]):
-    blob = "\x00".join(terms).encode("utf-8")
-    return np.frombuffer(blob, dtype=np.uint8)
+    """Terms as a utf-8 blob + cumulative byte offsets.
+
+    A delimiter-joined blob would corrupt on terms containing the delimiter
+    (any byte is legal in a term — the default tokenizer only splits on
+    spaces), so boundaries are explicit.
+    """
+    encoded = [t.encode("utf-8") for t in terms]
+    blob = b"".join(encoded)
+    offsets = np.zeros(len(terms) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    return np.frombuffer(blob, dtype=np.uint8), offsets
 
 
-def _unpack_terms(arr: np.ndarray) -> List[str]:
-    if len(arr) == 0:
-        return []
-    return arr.tobytes().decode("utf-8").split("\x00")
+def _unpack_terms(blob: np.ndarray, offsets: np.ndarray) -> List[str]:
+    raw = blob.tobytes()
+    return [
+        raw[offsets[i] : offsets[i + 1]].decode("utf-8")
+        for i in range(len(offsets) - 1)
+    ]
 
 
 def save(index, path: str) -> None:
@@ -55,7 +66,7 @@ def save(index, path: str) -> None:
         dtype=np.uint8,
     )
     for i, seg in enumerate(index._segments):
-        data[f"seg{i}_terms"] = _pack_terms(seg.terms)
+        data[f"seg{i}_terms"], data[f"seg{i}_terms_offsets"] = _pack_terms(seg.terms)
         data[f"seg{i}_term_lens"] = seg.term_lens
         data[f"seg{i}_offsets"] = seg.offsets
         data[f"seg{i}_post_doc"] = seg.post_doc
@@ -65,22 +76,21 @@ def save(index, path: str) -> None:
     keys = index._slot_to_key
     # np.asarray(list-of-tuples) would make a 2-D array; force a 1-D object
     # vector so tuple keys survive the round trip.
-    key_arr = np.empty(len(keys), dtype=object)
-    key_arr[:] = keys
-    try:
-        # Fast path: homogeneous scalar int or str keys (1-D, non-object).
-        as_np = np.asarray(keys)
-        if as_np.dtype != object and as_np.ndim == 1:
-            data["keys"] = as_np
-        else:
-            raise ValueError
-    except ValueError:
+    # Fast path ONLY for keys of one homogeneous scalar type: np.asarray on
+    # mixed [1, 'docA'] silently coerces to unicode and corrupts the round
+    # trip.  bool is excluded (it is an int subclass but round-trips wrong).
+    key_types = {type(k) for k in keys}
+    if keys and (key_types == {int} or key_types == {str}):
+        data["keys"] = np.asarray(keys)
+    else:
+        key_arr = np.empty(len(keys), dtype=object)
+        key_arr[:] = keys
         data["keys_pickled"] = key_arr
     removed = list(index._removed_keys)
     removed_arr = np.empty(len(removed), dtype=object)
     removed_arr[:] = removed
     data["removed_pickled"] = removed_arr
-    np.savez_compressed(path, **data, allow_pickle=True)
+    np.savez_compressed(path, **data)
 
 
 def load(path: str, config: IndexConfig | None = None):
@@ -95,7 +105,7 @@ def load(path: str, config: IndexConfig | None = None):
     index = Index(F, config=config)
 
     for i in range(meta["num_segments"]):
-        terms = _unpack_terms(z[f"seg{i}_terms"])
+        terms = _unpack_terms(z[f"seg{i}_terms"], z[f"seg{i}_terms_offsets"])
         index._segments.append(
             Segment(
                 terms=terms,

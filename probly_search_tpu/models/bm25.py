@@ -50,6 +50,9 @@ class BM25(BaseScoreCalculator):
     """Okapi BM25 (bm25.rs:14-94).  Stateless; also runs on-device."""
 
     device_needs_finalize = False
+    # score() returns None for non-positive totals (bm25.rs:89-92); the
+    # device path must drop those lanes before the merge.
+    device_excludes_nonpositive = True
 
     def __init__(self, bm25k1: float = 1.2, bm25b: float = 0.75):
         self.bm25k1 = bm25k1

@@ -236,14 +236,17 @@ def vectorized_query(index, query: str, tokenizer=None, top_k=None):
 
     # --- lockstep consumption loop (zero_to_one.rs:98-121) ----------------
     E = int(gsize.max())
-    consumed = np.zeros(G, np.int64)  # bitmask over query-term index
+    # Consumed query-term indices per group as a [G, query_terms] boolean
+    # matrix (a packed int64 bitmask silently overflows past 64 query terms).
+    consumed = np.zeros((G, max(qlen_total, 1)), bool)
+    grange = np.arange(G)
     pools = np.full(N, -1, np.int64)  # -1 = untouched
     acc = np.zeros(G, np.float64)
     for e in range(E):
         active = e < gsize
         idx = np.minimum(gstart + e, N - 1)
         q = qti[idx]
-        ok = active & (((consumed >> q) & 1) == 0)
+        ok = active & ~consumed[grange, q]
         ps = pool_slot[idx]
         pv = pools[ps]
         first = pv < 0
@@ -253,7 +256,7 @@ def vectorized_query(index, query: str, tokenizer=None, top_k=None):
         # could alias an active group's pool slot.
         tk = np.flatnonzero(take)
         pools[ps[tk]] = new_pv[tk]
-        consumed = np.where(take, consumed | (np.int64(1) << q), consumed)
+        consumed[grange[take], q[take]] = True
         contrib = (
             np.minimum(score[idx] / tf[idx], 1.0)
             * tf[idx]

@@ -120,6 +120,9 @@ def _query_kernel(
         qterm=c_qterm,
     )
     score = scorer.device_score_lanes(lanes)  # [ROWS, NC, C]
+    if getattr(scorer, "device_excludes_nonpositive", False):
+        # score() -> None postings never merge (bm25.rs:89-92).
+        live = live & (score > 0.0)
 
     key = jnp.where(live, (doc << qterm_bits) | c_qterm[..., None], INVALID_KEY)
 

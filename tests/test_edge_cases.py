@@ -19,24 +19,57 @@ def test_negative_fields_raises():
         Index(-1)
 
 
-def test_max_query_terms_enforced_on_device():
+def test_max_query_terms_degrades_to_host_path():
+    """Cap-exceeding queries fall back per-query to the exact host path
+    (graceful degradation): same results as the host oracle, other queries
+    in the batch still run on device, and the fallback is counted."""
+    from probly_search_tpu.utils.metrics import metrics
+
     cfg = IndexConfig(max_query_terms=2)
     ix = Index(1, config=cfg)
     ix.add_document([title_extract], tokenizer, 0, Doc(id=0, title="a b c"))
-    with pytest.raises(ValueError, match="max_query_terms"):
-        ix.query_batch(["a b c"], bm25.new(), top_k=3, backend="device")
-    # Host path has no cap (reference parity).
-    assert len(ix.query("a b c", bm25.new(), tokenizer, [1.0])) == 1
+    ix.add_document([title_extract], tokenizer, 1, Doc(id=1, title="a z"))
+    before = metrics.snapshot()["counters"].get("device_fallback_queries", 0)
+    rows = ix.query_batch(["a b c", "z"], bm25.new(), top_k=3, backend="device")
+    oracle0 = ix.query("a b c", bm25.new(), tokenizer, [1.0], top_k=3)
+    oracle1 = ix.query("z", bm25.new(), tokenizer, [1.0], top_k=3)
+    assert [r.key for r in rows[0]] == [r.key for r in oracle0]
+    assert rows[0][0].score == pytest.approx(oracle0[0].score, abs=1e-9)  # exact host path
+    assert [r.key for r in rows[1]] == [r.key for r in oracle1]
+    after = metrics.snapshot()["counters"]["device_fallback_queries"]
+    assert after == before + 1
 
 
-def test_max_expansions_enforced_on_device():
+def test_max_expansions_degrades_to_host_path():
     cfg = IndexConfig(max_expansions=2)
     ix = Index(1, config=cfg)
     for i, t in enumerate(["aa", "ab", "ac", "ad"]):
         ix.add_document([title_extract], tokenizer, i, Doc(id=i, title=t))
-    with pytest.raises(ValueError, match="max_expansions"):
-        ix.query_batch(["a"], bm25.new(), top_k=3, backend="device")
-    assert len(ix.query("a", bm25.new(), tokenizer, [1.0])) == 4
+    rows = ix.query_batch(["a", "ab"], bm25.new(), top_k=10, backend="device")
+    oracle = ix.query("a", bm25.new(), tokenizer, [1.0], top_k=10)
+    assert [r.key for r in rows[0]] == [r.key for r in oracle]
+    assert len(rows[0]) == 4
+    assert rows[1][0].key == 1  # in-cap query still served (by the device)
+
+
+def test_df_group_cap_degrades_to_host_path():
+    # >256 df groups in one query: every term expands uniquely, 20 terms x
+    # 16 expansions each = 320 groups.
+    from probly_search_tpu.index.device import _MAX_GROUPS
+
+    cfg = IndexConfig(max_expansions=64, max_query_terms=16)
+    ix = Index(1, config=cfg)
+    kid = 0
+    prefixes = [f"p{i:02d}" for i in range(16)]
+    for p in prefixes:
+        for j in range(20):
+            ix.add_document([title_extract], tokenizer, kid, Doc(id=kid, title=f"{p}x{j:02d}"))
+            kid += 1
+    query = " ".join(prefixes)  # 16 terms x 20 expansions = 320 > 255 groups
+    rows = ix.query_batch([query], bm25.new(), top_k=5, backend="device")
+    oracle = ix.query(query, bm25.new(), tokenizer, [1.0], top_k=5)
+    assert [r.key for r in rows[0]] == [r.key for r in oracle]
+    assert 16 * 20 > _MAX_GROUPS
 
 
 def test_unicode_terms_and_prefixes():
@@ -84,6 +117,36 @@ def test_query_all_results_vs_topk_consistency():
     full = ix.query("shared", bm25.new(), tokenizer, [1.0])
     topk = ix.query("shared", bm25.new(), tokenizer, [1.0], top_k=10)
     assert [r.key for r in topk] == [r.key for r in full[:10]]
+
+
+def test_doc_slot_capacity_degrades_and_shards(monkeypatch):
+    """Past the single-chip merge-key capacity (2^27 doc slots) the device
+    snapshot refuses with advice to shard; auto backend degrades to the
+    host path, and the sharded index (whose capacity is per shard) still
+    serves the corpus — the advice is an actual workflow."""
+    import jax
+
+    from probly_search_tpu.parallel import ShardedDeviceIndex, make_mesh
+
+    ix = Index(1)
+    for i in range(8):
+        ix.add_document([title_extract], tokenizer, i, Doc(id=i, title=f"t{i} common"))
+    ix._flush_pending()
+    monkeypatch.setattr(ix, "_next_slot", 1 << 28)  # pretend 268M doc slots
+
+    with pytest.raises(ValueError, match="shard the index"):
+        ix.device_index()
+
+    # auto backend: falls back to the exact host path, full results.
+    rows = ix.query_batch(["common"], bm25.new(), top_k=10, backend="auto")
+    oracle = ix.query("common", bm25.new(), tokenizer, [1.0], top_k=10)
+    assert [r.key for r in rows[0]] == [r.key for r in oracle]
+
+    # sharded path: capacity is per shard (2^28 / 8 local slots fits).
+    mesh = make_mesh(data=1, docs=8, devices=jax.devices()[:8])
+    sdix = ShardedDeviceIndex(ix, mesh)
+    srows = sdix.query_batch(["common"], bm25.new(), top_k=10)
+    assert {r.key for r in srows[0]} == {r.key for r in oracle}
 
 
 def test_stateful_scorer_reuse_across_queries():

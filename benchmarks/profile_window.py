@@ -90,6 +90,26 @@ def main():
                 )
             log(f"    dispatches={snap['counters'].get('dispatches')}")
 
+    # --- pipelined submission: overlap host planning with device work ---- #
+    dix.config.single_dispatch_windows = True
+    total = len(queries)
+    for W in (2048, 4096, 8192):
+        wins = [queries[i : i + W] for i in range(0, total, W)]
+        for w in wins:
+            dix.query_batch(w, scorer, top_k=10)  # warm every composition
+        t0 = time.perf_counter()
+        pend = []
+        out = []
+        for w in wins:
+            pend.append(dix.query_batch_async(w, scorer, top_k=10))
+            if len(pend) > 2:
+                out.extend(pend.pop(0).get())
+        for p in pend:
+            out.extend(p.get())
+        dt = time.perf_counter() - t0
+        assert len(out) == total
+        log(f"pipelined W={W}: {total} queries in {dt:.2f}s -> {total / dt:.0f} QPS")
+
 
 if __name__ == "__main__":
     main()

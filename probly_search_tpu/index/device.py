@@ -21,11 +21,13 @@ sort width.  Consequences:
 Device step per dispatch:
   unpack jobs -> chunk expansion (cumsum + searchsorted)
   slice-gather [B, NC, C, R] posting records
-  df + idf        — segment-sum of live occurrence counts per df-group (the
-                    device analogue of count_documents, index.rs:282-297,
-                    feeding the BM25 clamp bm25.rs:41-56)
   scorer.device_score_lanes — fused scoring (vectorized
-                    ScoreCalculator::score, calculator.rs:58-66)
+                    ScoreCalculator::score, calculator.rs:58-66).  df and
+                    idf never touch the device: document frequency (the
+                    live-pointer count, index.rs:282-297) is static per
+                    snapshot, so `device_term_scale` — the vectorized
+                    before_each — premultiplies idf * expansion_boost into
+                    each job's scale word on host at plan time.
   merge_scores_topk — sorted segmented max/sum merge + lax.top_k
                     (ops/merge.py; the max_score_merger rule)
 
@@ -39,8 +41,8 @@ fetches everything):
 
 The term dictionary stays on the host (strings never cross to device).  A
 query term's expansions may span several delta segments; jobs carrying the
-same expanded term share a **df group** so idf is computed over the term's
-full posting set.
+same expanded term are grouped at plan time so idf is computed (on host)
+over the term's full posting set across segments.
 """
 
 from __future__ import annotations
@@ -61,12 +63,13 @@ from ..ops.merge import INVALID_KEY, merge_scores_topk
 _MAX_CHAR = "\U0010FFFF"  # prefix upper-bound sentinel (terms containing it
 # would break the vectorized prefix range; practically nonexistent)
 
-# Job word1 layout: len(20) | qterm(4) | group(8).
-_LEN_BITS = 20
+# Job word1 layout: len(26) | qterm(4).  (df groups no longer ship to the
+# device: df — the live posting-pointer count, index.rs:282-297 — is static
+# per snapshot, so idf * expansion_boost is premultiplied on host into the
+# per-job scale word, the vectorized before_each.)
+_LEN_BITS = 26
 _QT_BITS = 4
-_GROUP_BITS = 8
 _MAX_JOB_LEN = (1 << _LEN_BITS) - 1
-_MAX_GROUPS = (1 << _GROUP_BITS) - 1
 
 # Fused-kernel mode: "auto" (TPU only), "off" (staged XLA path), or
 # "interpret" (run the Pallas kernel interpreted — CPU parity testing).
@@ -89,8 +92,8 @@ class ScoreLanes:
     field_length: Any  # f32[B, NC, F, C] — per-field doc lengths
     field_avg: Any  # f32[F] — average field lengths
     fields_boost: Any  # f32[F]
-    idf: Any  # f32[B, NC] — per-chunk idf (df-clamped, bm25.rs:41-56)
-    expansion_boost: Any  # f32[B, NC]
+    scale: Any  # f32[B, NC] — per-job scale from device_term_scale (the
+    # vectorized before_each; for BM25: df-clamped idf * expansion boost)
     doc: Any  # int32[B, NC, C] — doc slot
     live: Any  # bool[B, NC, C] — posting is live and in-bounds
     qterm: Any  # int32[B, NC] — dense query-term index per chunk
@@ -105,17 +108,15 @@ def _query_step_impl(
     num_chunks: int,
     rec,
     field_avg,
-    n_docs,
     fields_boost,
     jobs_flat,
-    df_reduce=None,
 ):
     """One dispatch: ``jobs_flat`` int32[B * NJ * 3] -> top-k per query.
 
     ``rec`` is the TRANSPOSED posting record array int32[R, P + C] so every
-    chunk gather is a [R, C] slice with the lane dimension minor.
-    ``df_reduce`` is an optional collective applied to the per-group df
-    (the sharded path psums partial dfs over the doc-shard mesh axis).
+    chunk gather is a [R, C] slice with the lane dimension minor.  df / idf
+    never touch the device: they are static per snapshot and premultiplied
+    into each job's scale word on host (see plan_batch).
     """
     F = num_fields
     C = chunk
@@ -128,8 +129,7 @@ def _query_step_impl(
     w1 = jobs[..., 1]
     jlen = w1 & _MAX_JOB_LEN
     jqterm = (w1 >> _LEN_BITS) & ((1 << _QT_BITS) - 1)
-    jgroup = (w1 >> (_LEN_BITS + _QT_BITS)) & _MAX_GROUPS
-    jboost = jax.lax.bitcast_convert_type(jobs[..., 2], jnp.float32)
+    jscale = jax.lax.bitcast_convert_type(jobs[..., 2], jnp.float32)
 
     # --- on-device chunk expansion (all [B, NC]-small) ------------------ #
     # Each chunk's DMA start must be 128-aligned (Mosaic lane tiling), so a
@@ -157,40 +157,34 @@ def _query_step_impl(
     c_start = jnp.where(c_valid, c_start, 0)
     c_skip = jnp.where(c_valid, c_skip, 0)
     c_qterm = take(jqterm)
-    c_group = take(jgroup)
-    c_boost = take(jboost)
+    c_scale = take(jscale)
 
-    # --- fully fused kernel path (TPU, single chip) --------------------- #
-    # DMA gather + score + df/idf + merge in one VMEM-resident Pallas
-    # program (ops/pallas_query.py).  The sharded path (df_reduce set)
-    # needs a psum between df and idf, so it stays on the staged path.
+    # --- fully fused kernel path (TPU) ----------------------------------- #
+    # DMA gather + score + merge in one VMEM-resident Pallas program
+    # (ops/pallas_query.py).  With df hoisted to the host there is no
+    # cross-shard reduction mid-program, so the sharded path fuses too.
     if (
         _FUSED_MODE != "off"
-        and df_reduce is None
         and (L & (L - 1)) == 0
         and L <= 16384  # larger unrolled sort networks compile pathologically
         and (_FUSED_MODE == "interpret" or jax.default_backend() != "cpu")
     ):
         from ..ops.pallas_query import fused_query_topk
 
-        scalars = jnp.concatenate(
-            [jnp.reshape(n_docs, (1,)), field_avg, fields_boost]
-        )[None, :]
+        scalars = jnp.concatenate([field_avg, fields_boost])[None, :]
         return fused_query_topk(
             scorer,
             rec,
             c_start,
             c_skip,
             c_len,
-            c_group,
             c_qterm,
-            c_boost,
+            c_scale,
             scalars,
             chunk=C,
             k=k,
             qterm_bits=qterm_bits,
             num_fields=F,
-            num_jobs=NJ,
             interpret=(_FUSED_MODE == "interpret"),
         )
 
@@ -212,28 +206,13 @@ def _query_step_impl(
         & (pos < (c_skip + c_len)[..., None])
         & (doc >= 0)
     )
-    occ = tf.sum(2)  # [B, NC, C]
-
-    # --- df per df-group (live pointer count, index.rs:282-297) --------- #
-    # Per-chunk partial sums then a tiny one-hot contraction — no scatter.
-    w_chunk = jnp.where(live, occ, 0.0).sum(-1)  # [B, NC]
-    onehot = (c_group[..., None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, NJ), 2)).astype(
-        jnp.float32
-    )  # [B, NC, NJ]
-    df = jnp.einsum("bn,bnj->bj", w_chunk, onehot)  # [B, NJ]
-    if df_reduce is not None:
-        df = df_reduce(df)
-    freq = jnp.minimum(n_docs, df)  # bm25.rs:41
-    idf = jnp.log(1.0 + (n_docs - freq + 0.5) / (freq + 0.5))  # bm25.rs:56
-    c_idf = jnp.take_along_axis(idf, c_group, axis=1)  # [B, NC]
 
     lanes = ScoreLanes(
         tf=tf,
         field_length=flen,
         field_avg=field_avg,
         fields_boost=fields_boost,
-        idf=c_idf,
-        expansion_boost=c_boost,
+        scale=c_scale,
         doc=doc,
         live=live,
         qterm=c_qterm,
@@ -263,7 +242,6 @@ def _window_step_impl(
     scorer,
     rec,
     field_avg,
-    n_docs,
     fields_boost,
     words_flat,
     *,
@@ -302,7 +280,6 @@ def _window_step_impl(
             num_chunks=nc,
             rec=rec,
             field_avg=field_avg,
-            n_docs=n_docs,
             fields_boost=fields_boost,
             jobs_flat=jobs_flat,
         )
@@ -409,13 +386,21 @@ class DeviceIndex:
         self.seg_term_lens: List[np.ndarray] = []
         self.seg_offsets: List[np.ndarray] = []
         self.seg_base: List[int] = []
+        self.seg_live_cum: List[np.ndarray] = []  # cumulative live-occurrence
+        # counts over each segment's postings — df for any posting range is
+        # two lookups (df is static per snapshot; the device never sees it)
         base = 0
         doc_parts, tf_parts = [], []
+        alive0 = index._alive
         for seg in self.segments:
             self.seg_terms.append(np.asarray(seg.terms, dtype=np.str_))
             self.seg_term_lens.append(seg.term_lens)
             self.seg_offsets.append(seg.offsets)
             self.seg_base.append(base)
+            occ_live = np.where(alive0[seg.post_doc], seg.post_occ, 0).astype(np.int64)
+            cum = np.zeros(seg.num_postings + 1, dtype=np.int64)
+            np.cumsum(occ_live, out=cum[1:])
+            self.seg_live_cum.append(cum)
             doc_parts.append(seg.post_doc)
             tf_parts.append(seg.post_tf)
             base += seg.num_postings
@@ -460,7 +445,7 @@ class DeviceIndex:
     # planning (host, vectorized)                                         #
     # ------------------------------------------------------------------ #
 
-    def plan_batch(self, queries: Sequence[str], tokenizer):
+    def plan_batch(self, queries: Sequence[str], tokenizer, scorer):
         """Plan a batch into a flat job table (all-numpy, no per-term loop).
 
         Returns ``(PlannedJobs | None, fallback)`` where ``fallback`` lists
@@ -489,7 +474,9 @@ class DeviceIndex:
         flat_upper = np.char.add(flat_terms, _MAX_CHAR)
         flat_blen = np.char.str_len(np.char.encode(flat_terms, "utf-8")).astype(np.int64)
 
-        # Per segment: prefix ranges -> candidate jobs.
+        # Per segment: prefix ranges -> candidate jobs.  Each job carries
+        # its live df (two lookups in the segment's live-occurrence cumsum;
+        # the device analogue of count_documents, index.rs:282-297).
         job_parts = []
         for si in range(len(self.segments)):
             terms = self.seg_terms[si]
@@ -503,10 +490,19 @@ class DeviceIndex:
             tid = np.repeat(lo, nexp) + _segment_arange(nexp)
             jidx = np.repeat(np.arange(total_terms, dtype=np.int64), nexp)
             offs = self.seg_offsets[si]
-            start = (self.seg_base[si] + offs[tid]).astype(np.int64)
+            local = offs[tid].astype(np.int64)
             length = (offs[tid + 1] - offs[tid]).astype(np.int64)
+            cum = self.seg_live_cum[si]
+            ldf = cum[local + length] - cum[local]
             job_parts.append(
-                (jidx, start, length, terms[tid], self.seg_term_lens[si][tid].astype(np.int64))
+                (
+                    jidx,
+                    self.seg_base[si] + local,
+                    length,
+                    terms[tid],
+                    self.seg_term_lens[si][tid].astype(np.int64),
+                    ldf,
+                )
             )
         if not job_parts:
             return None, fallback
@@ -515,61 +511,68 @@ class DeviceIndex:
         jlen = np.concatenate([p[2] for p in job_parts])
         jexp = np.concatenate([p[3] for p in job_parts])
         jblen = np.concatenate([p[4] for p in job_parts])
+        jldf = np.concatenate([p[5] for p in job_parts])
 
         keep = jlen > 0
-        jidx, jstart, jlen, jexp, jblen = (
-            jidx[keep], jstart[keep], jlen[keep], jexp[keep], jblen[keep]
+        jidx, jstart, jlen, jexp, jblen, jldf = (
+            jidx[keep], jstart[keep], jlen[keep], jexp[keep], jblen[keep], jldf[keep]
         )
         if len(jidx) == 0:
             return None, fallback
 
-        # df groups: unify jobs of the same (query term, expanded term)
-        # across segments (sort by term idx + expansion string; run
-        # boundaries give group ids).
+        # df groups: jobs of the same (query term, expanded term) across
+        # segments share one df (sort by term idx + expansion string; run
+        # boundaries give group ids; per-group df = sum of segment dfs).
         order = np.lexsort((jexp, jidx))
-        jidx, jstart, jlen, jexp, jblen = (
-            jidx[order], jstart[order], jlen[order], jexp[order], jblen[order]
+        jidx, jstart, jlen, jexp, jblen, jldf = (
+            jidx[order], jstart[order], jlen[order], jexp[order], jblen[order],
+            jldf[order],
         )
         new_group = np.ones(len(jidx), dtype=bool)
         new_group[1:] = (jidx[1:] != jidx[:-1]) | (jexp[1:] != jexp[:-1])
         group_global = np.cumsum(new_group) - 1
+        group_df = np.bincount(group_global, weights=jldf.astype(np.float64))
+        jdf = group_df[group_global]
+
+        # Expansions whose live df is 0 are never scored (query.rs:48):
+        # drop their jobs entirely — pure lane savings.
+        keep_df = jdf > 0
+        jidx, jstart, jlen, jexp, jblen, jdf, new_group = (
+            jidx[keep_df], jstart[keep_df], jlen[keep_df], jexp[keep_df],
+            jblen[keep_df], jdf[keep_df], new_group[keep_df],
+        )
+        if len(jidx) == 0:
+            return None, fallback
 
         per_term_groups = np.bincount(jidx[new_group], minlength=total_terms)
 
-        # Expansion boost (bm25.rs:44-55; byte lengths).
+        # Expansion boost (bm25.rs:44-55; byte lengths), f64 until the
+        # single rounding into the packed f32 scale word.
         exact = jexp == flat_terms[jidx]
-        boost = np.where(
-            exact, 1.0, np.log1p(1.0 / (1.0 + jblen - flat_blen[jidx]))
-        ).astype(np.float32)
-
-        # Per-query-local group ids.  Groups are query-sorted, so local id =
-        # global id - first group id of the query.
+        boost = np.where(exact, 1.0, np.log1p(1.0 / (1.0 + jblen - flat_blen[jidx])))
         jquery = flat_query[jidx]
-        group_query = jquery[new_group]
-        qstart = np.zeros(B + 1, dtype=np.int64)
-        np.add.at(qstart, group_query + 1, 1)
-        qstart = np.cumsum(qstart)
-        group_local = group_global - qstart[jquery]
 
         # Cap-exceeding queries degrade to the host path (graceful — the
         # packed job words can't express them, but the exact path can).
         bad: Set[int] = set()
         over_exp = np.flatnonzero(per_term_groups > cfg.max_expansions)
         bad.update(int(q) for q in flat_query[over_exp])
-        over_grp = group_local > _MAX_GROUPS
-        bad.update(int(q) for q in np.unique(jquery[over_grp]))
         if bad:
             fallback.extend(sorted(bad))
             keep2 = ~np.isin(jquery, np.fromiter(bad, dtype=np.int64))
-            jidx, jstart, jlen, jquery, group_local, boost = (
+            jidx, jstart, jlen, jquery, jdf, boost = (
                 jidx[keep2], jstart[keep2], jlen[keep2], jquery[keep2],
-                group_local[keep2], boost[keep2],
+                jdf[keep2], boost[keep2],
             )
             if len(jidx) == 0:
                 return None, fallback
 
-        # Split jobs longer than the packed-length capacity (same group, so
-        # df/idf and scores are unchanged).
+        # The vectorized before_each (calculator.rs:43-50): one f32 scale
+        # per job, e.g. BM25's df-clamped idf * expansion boost.
+        scale = scorer.device_term_scale(jdf, self.n_docs, boost)
+
+        # Split jobs longer than the packed-length capacity (the split
+        # parts share the job's df/scale, so scores are unchanged).
         if jlen.max(initial=0) > _MAX_JOB_LEN:
             nsplit = (jlen + _MAX_JOB_LEN - 1) // _MAX_JOB_LEN
             si_ = _segment_arange(nsplit)
@@ -578,17 +581,14 @@ class DeviceIndex:
             jlen = np.minimum(jlen[sj] - si_ * _MAX_JOB_LEN, _MAX_JOB_LEN)
             jquery = jquery[sj]
             jqterm_src = flat_qterm[jidx][sj]
-            group_local = group_local[sj]
-            boost = boost[sj]
+            scale = scale[sj]
         else:
             jqterm_src = flat_qterm[jidx]
 
         words = np.empty((len(jstart), 3), dtype=np.int32)
         words[:, 0] = jstart
-        words[:, 1] = (
-            jlen | (jqterm_src << _LEN_BITS) | (group_local << (_LEN_BITS + _QT_BITS))
-        )
-        words[:, 2] = boost.view(np.int32)
+        words[:, 1] = jlen | (jqterm_src << _LEN_BITS)
+        words[:, 2] = scale.view(np.int32)
 
         CP = self.CHUNK - 128  # payload postings per chunk (aligned DMA)
         job_chunks = (jlen + CP - 1) // CP
@@ -674,7 +674,7 @@ class DeviceIndex:
         k = top_k or self.config.default_top_k
         metrics.inc("queries_submitted", len(queries))
         with metrics.timer("query/plan"):
-            plan, fallback = self.plan_batch(queries, tokenizer)
+            plan, fallback = self.plan_batch(queries, tokenizer, scorer)
         host_rows = None
         if fallback:
             # Graceful degradation: cap-exceeding queries run on the exact
@@ -714,7 +714,6 @@ class DeviceIndex:
                 packed = step(
                     self.rec,
                     self.field_avg,
-                    jnp.float32(self.n_docs),
                     boost_arr,
                     words_flat,
                     chunk=self.CHUNK,
@@ -742,7 +741,6 @@ class DeviceIndex:
                 num_chunks=nc,
                 rec=self.rec,
                 field_avg=self.field_avg,
-                n_docs=jnp.float32(self.n_docs),
                 fields_boost=boost_arr,
                 jobs_flat=jnp.asarray(jobs_flat),
             )

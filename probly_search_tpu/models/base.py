@@ -138,6 +138,14 @@ class BaseScoreCalculator:
 class DeviceScorer(Protocol):
     """Optional vectorized device protocol for TPU execution.
 
+    ``device_term_scale`` is the vectorized analogue of ``before_each``
+    (calculator.rs:43-50): a host-side per-(query term x expansion)
+    precompute, evaluated over the whole planned job table at once.  Its
+    result is shipped to the device as one f32 scale per job.  This is
+    possible because everything ``before_each`` sees — document frequency
+    and the live-document count — is static per device snapshot (liveness
+    is baked in at snapshot build; any mutation rebuilds the snapshot).
+
     ``device_score_lanes`` evaluates the per-posting score for a whole padded
     lane tile at once using jax.numpy; it is the vectorized analogue of
     ``score``.  Scorers with a non-trivial ``finalize`` additionally set
@@ -145,6 +153,11 @@ class DeviceScorer(Protocol):
     """
 
     device_needs_finalize: bool
+
+    def device_term_scale(
+        self, df: np.ndarray, n_docs: float, expansion_boost: np.ndarray
+    ) -> np.ndarray:
+        ...
 
     def device_score_lanes(self, lanes: "ScoreLanes") -> Any:
         ...

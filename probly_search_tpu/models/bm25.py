@@ -112,15 +112,26 @@ class BM25(BaseScoreCalculator):
 
     # --- device (vectorized f32) path --------------------------------------
 
+    def device_term_scale(self, df, n_docs, expansion_boost):
+        """Vectorized ``before_each`` over the planned job table (host f64):
+        df-clamped Lucene idf (bm25.rs:41-56) times the expansion boost,
+        premultiplied into one per-job scale."""
+        import numpy as np
+
+        freq = np.minimum(n_docs, df.astype(np.float64))  # bm25.rs:41
+        idf = np.log(1.0 + (n_docs - freq + 0.5) / (freq + 0.5))  # bm25.rs:56
+        return (idf * expansion_boost).astype(np.float32)
+
     def device_score_lanes(self, lanes):
         """Vectorized per-lane score (see index/device.py ScoreLanes layout:
         [B, NC, F, C] with the posting lane dim C minor).
 
         Computes, for every lane (= one posting of one expansion job):
-            sum_f tf_norm(tf_f, len_f, avg_f) * boost_f * idf * exp_boost
-        where idf is the chunk's df-group idf (already df-clamped on device)
-        and exp_boost the chunk's expansion boost.  Math is identical to the
-        host path modulo f32.  Returns f32[B, NC, C].
+            sum_f tf_norm(tf_f, len_f, avg_f) * boost_f * scale
+        where scale = idf * expansion_boost was precomputed on host by
+        ``device_term_scale`` (df and n_docs are static per snapshot).
+        Math is identical to the host path modulo f32.  Returns
+        f32[B, NC, C].
         """
         import jax.numpy as jnp
 
@@ -132,7 +143,7 @@ class BM25(BaseScoreCalculator):
         tf_norm = jnp.where(tf > 0, ((k1 + 1.0) * tf) / denom, 0.0)
         per_field = tf_norm * lanes.fields_boost[:, None]  # [B, NC, F, C]
         base = jnp.sum(per_field, axis=-2)  # [B, NC, C]
-        return base * (lanes.idf * lanes.expansion_boost)[..., None]
+        return base * lanes.scale[..., None]
 
 
 def new(bm25k1: float = 1.2, bm25b: float = 0.75) -> BM25:

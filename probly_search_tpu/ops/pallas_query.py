@@ -1,21 +1,22 @@
-"""Fully fused Pallas query kernel: DMA gather + score + df/idf + merge.
+"""Fully fused Pallas query kernel: DMA gather + score + merge.
 
 The XLA step (index/device.py) pays a measured ~1.5us per posting-chunk
 slice gather and materializes every stage in HBM.  This kernel executes one
 block of query rows end-to-end in VMEM:
 
   per (row, chunk): async-copy rec[:, start:start+C] from HBM into VMEM
-  compute liveness / occurrence counts
-  df per df-group -> idf            (count_documents + bm25.rs:41-56)
-  scorer lanes -> per-lane scores   (vectorized ScoreCalculator::score)
+  compute liveness
+  scorer lanes -> per-lane scores   (vectorized ScoreCalculator::score;
+                                     df/idf are premultiplied on host into
+                                     the per-job scale — see device.py)
   bitonic sort + segmented max/sum  (the max_score_merger rule,
                                      query.rs:150-164)
   iterative top-k                   (query.rs:103 + selection)
 
 HBM traffic per dispatch = the postings actually touched + job metadata +
 [B, k] results; every intermediate lives in VMEM.  The chunk tables
-(start/len/group/qterm/boost) are computed by a tiny XLA prologue — the
-kernel reads chunk starts from SMEM to issue DMAs.
+(start/len/qterm/scale) are computed by a tiny XLA prologue — the kernel
+reads chunk starts from SMEM to issue DMAs.
 """
 
 from __future__ import annotations
@@ -40,15 +41,13 @@ def _query_kernel(
     qterm_bits: int,
     F: int,
     NC: int,
-    NJ: int,
     # refs:
     c_start_ref,  # SMEM [1, ROWS, NC] int32 — 128-aligned DMA starts
     c_skip_ref,  # VMEM [1, ROWS, NC] int32 — payload begins at this lane
     c_len_ref,  # VMEM [1, ROWS, NC] int32
-    c_group_ref,  # VMEM [1, ROWS, NC] int32
     c_qterm_ref,  # VMEM [1, ROWS, NC] int32
-    c_boost_ref,  # VMEM [1, ROWS, NC] f32
-    scal_ref,  # VMEM [1, 1 + 2F] f32: n_docs, field_avg[F], fields_boost[F]
+    c_scale_ref,  # VMEM [1, ROWS, NC] f32 — per-job scale (host before_each)
+    scal_ref,  # VMEM [1, 2F] f32: field_avg[F], fields_boost[F]
     rec_ref,  # HBM [R, P + C] int32
     out_s_ref,  # VMEM [1, ROWS, k] f32
     out_d_ref,  # VMEM [1, ROWS, k] int32
@@ -83,10 +82,8 @@ def _query_kernel(
 
     c_skip = c_skip_ref[0]
     c_len = c_len_ref[0]
-    c_group = c_group_ref[0]
     c_qterm = c_qterm_ref[0]
-    c_boost = c_boost_ref[0]
-    n_docs = scal_ref[0, 0]
+    c_scale = c_scale_ref[0]
 
     cpos = jax.lax.broadcasted_iota(jnp.int32, (ROWS, NC, C), 2)
     live = (
@@ -94,16 +91,6 @@ def _query_kernel(
         & (cpos < (c_skip + c_len)[..., None])
         & (doc >= 0)
     )
-    occ = tf.sum(2)  # [ROWS, NC, C]
-
-    # ---- df per group -> idf (static NJ loop; all [ROWS, NC]-small) ---- #
-    w_chunk = jnp.where(live, occ, 0.0).sum(-1)  # [ROWS, NC]
-    c_idf = jnp.zeros_like(w_chunk)
-    for j in range(NJ):
-        df_j = jnp.sum(jnp.where(c_group == j, w_chunk, 0.0), axis=1, keepdims=True)
-        freq = jnp.minimum(n_docs, df_j)  # bm25.rs:41
-        idf_j = jnp.log(1.0 + (n_docs - freq + 0.5) / (freq + 0.5))  # bm25.rs:56
-        c_idf = jnp.where(c_group == j, idf_j, c_idf)
 
     # ---- scoring (vectorized scorer protocol) -------------------------- #
     from ..index.device import ScoreLanes
@@ -111,10 +98,9 @@ def _query_kernel(
     lanes = ScoreLanes(
         tf=tf,
         field_length=flen,
-        field_avg=scal_ref[0, 1 : 1 + F],
-        fields_boost=scal_ref[0, 1 + F : 1 + 2 * F],
-        idf=c_idf,
-        expansion_boost=c_boost,
+        field_avg=scal_ref[0, 0:F],
+        fields_boost=scal_ref[0, F : 2 * F],
+        scale=c_scale,
         doc=doc,
         live=live,
         qterm=c_qterm,
@@ -146,24 +132,22 @@ def fused_query_topk(
     c_start,
     c_skip,
     c_len,
-    c_group,
     c_qterm,
-    c_boost,
+    c_scale,
     scalars,
     *,
     chunk: int,
     k: int,
     qterm_bits: int,
     num_fields: int,
-    num_jobs: int,
     rows_per_block: int = 8,
     interpret: bool = False,
 ):
     """Run the fused kernel over a dispatch.
 
-    Args mirror the XLA step's chunk tables; ``scalars`` is f32[1, 1 + 2F]
-    = (n_docs, field_avg, fields_boost); ``rec`` is the transposed posting
-    record array int32[R, P + C].
+    Args mirror the XLA step's chunk tables; ``scalars`` is f32[1, 2F]
+    = (field_avg, fields_boost); ``rec`` is the transposed posting record
+    array int32[R, P + C].
     """
     B, NC = c_start.shape
     R0 = rec.shape[0]
@@ -191,7 +175,7 @@ def fused_query_topk(
         return a.reshape(G, rows, NC)
 
     kernel = functools.partial(
-        _query_kernel, scorer, C, k, qterm_bits, num_fields, NC, num_jobs
+        _query_kernel, scorer, C, k, qterm_bits, num_fields, NC
     )
     row_block = lambda i: (i, 0, 0)
     table = lambda space: pl.BlockSpec((1, rows, NC), row_block, memory_space=space)
@@ -200,7 +184,6 @@ def fused_query_topk(
         grid=grid,
         in_specs=[
             table(pltpu.SMEM),
-            table(pltpu.VMEM),
             table(pltpu.VMEM),
             table(pltpu.VMEM),
             table(pltpu.VMEM),
@@ -224,5 +207,5 @@ def fused_query_topk(
             pltpu.SemaphoreType.DMA((rows, NC)),
         ],
         interpret=interpret,
-    )(r3(c_start), r3(c_skip), r3(c_len), r3(c_group), r3(c_qterm), r3(c_boost), scalars, rec)
+    )(r3(c_start), r3(c_skip), r3(c_len), r3(c_qterm), r3(c_scale), scalars, rec)
     return out_s.reshape(B, k), out_d.reshape(B, k)

@@ -7,11 +7,11 @@ first-class NEW subsystem of the TPU build, designed for ICI collectives:
 
 * **Doc sharding** (`dist_query.py`): each device owns the postings of the
   doc slots congruent to its shard id.  Queries broadcast (tiny job tables),
-  each shard scores its local postings, dfs are `psum`-reduced so idf is
-  global, and per-shard top-k results are `all_gather`-ed and reduced to the
-  final top-k.  This is the classic partition-by-document search layout —
-  embarrassingly parallel with only O(k) bytes crossing the interconnect per
-  query.
+  each shard scores its local postings, and per-shard top-k results are
+  `all_gather`-ed and reduced to the final top-k.  Global document
+  frequencies are static per snapshot and premultiplied on host into the
+  job scales, so the ONLY query-time collective is the O(k) top-k gather —
+  the classic partition-by-document search layout, embarrassingly parallel.
 * **Query-batch data parallelism**: a second mesh axis splits the batch;
   no collective crosses it.
 

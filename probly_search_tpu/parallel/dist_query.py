@@ -5,22 +5,26 @@ Layout: doc slot ``g`` lives on shard ``g % n_shards`` with local slot
 terms (classic partition-by-document).  One global sorted term dictionary is
 shared; per-shard CSR offsets index each shard's posting record array.
 
-Collective plan (ICI):
-  * job tables broadcast (tiny; sharded over "data", replicated over "docs")
-  * per-group df partials -> ``psum`` over "docs" (idf must be global — the
-    distributed analogue of count_documents, index.rs:282-297)
-  * per-shard local top-k -> ``all_gather`` over "docs" -> final top-k
-    (replicated).  Only O(k) values cross the interconnect per query.
+Collective plan (ICI): ONE collective — per-shard local top-k ->
+``all_gather`` over "docs" -> final top-k (replicated); only O(k) values
+cross the interconnect per query.  Document frequencies (the distributed
+analogue of count_documents, index.rs:282-297) are GLOBAL but static per
+snapshot, so they are computed on host from the merged segment and
+premultiplied into each job's scale word — no df psum at query time, which
+also makes the fused Pallas kernel eligible per shard.
+
+Execution mirrors the single-chip engine (index/device.py): queries bucket
+into shape classes, every class's job table packs into ONE flat buffer, and
+the whole window runs as ONE jitted shard_map program returning ONE packed
+result array — a single dispatch round trip and transfer pair per window.
 
 The per-shard compute is the SAME ``_query_step_impl`` as the single-chip
-path (index/device.py) with ``df_reduce`` plugged in — one engine, one
-semantics, N chips.
+path — one engine, one semantics, N chips.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Set
 
 import numpy as np
 
@@ -31,7 +35,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..index.device import (
     _MAX_CHAR,
     _LEN_BITS,
-    _MAX_GROUPS,
     _MAX_JOB_LEN,
     _QT_BITS,
     _bucket,
@@ -67,10 +70,27 @@ class ShardedDeviceIndex:
         T = gseg.num_terms
         self.terms = np.asarray(gseg.terms, dtype=np.str_)
         self.term_lens = gseg.term_lens.astype(np.int64)
+        self.g_offsets = gseg.offsets.astype(np.int64)
 
         S = index._next_slot
         alive = index._alive[:S]
         doc_len = index._doc_len[:S].astype(np.float32) if S else np.zeros((0, F), np.float32)
+        local_max = (S - 1) // n if S else 0
+        if local_max >= (1 << (31 - _QT_BITS)):
+            raise ValueError(
+                f"per-shard doc slots ({local_max + 1}) exceed the packed "
+                f"int32 merge-key capacity; use more shards"
+            )
+
+        # Global live-occurrence cumsum: df for any term is two lookups
+        # (static per snapshot; premultiplied into job scales at plan time).
+        occ_live = (
+            np.where(alive[gseg.post_doc], gseg.post_occ, 0).astype(np.int64)
+            if gseg.num_postings
+            else np.zeros(0, np.int64)
+        )
+        self.g_live_cum = np.zeros(gseg.num_postings + 1, dtype=np.int64)
+        np.cumsum(occ_live, out=self.g_live_cum[1:])
 
         # Per-shard CSR: select postings by doc % n (order within a term is
         # preserved, so per-shard postings stay doc-sorted).
@@ -81,7 +101,6 @@ class ShardedDeviceIndex:
         )
         shard_of = post_doc % n if len(post_doc) else post_doc
         offsets_sh = np.zeros((n, T + 1), dtype=np.int64)
-        recs = []
         pmax = 0
         shard_rows = []
         for s in range(n):
@@ -121,26 +140,29 @@ class ShardedDeviceIndex:
     # planning                                                            #
     # ------------------------------------------------------------------ #
 
-    def plan_batch(self, queries: Sequence[str], tokenizer):
-        """Plan into term-id-level jobs; shard-specific ranges resolved per
-        shard from ``offsets_sh``.  Returns (jquery, words[n, NJOBS, 3],
-        nchunks_max[B], njobs[B]) or None."""
+    def plan_batch(self, queries: Sequence[str], tokenizer, scorer):
+        """Plan into per-shard job tables.
+
+        Returns ``((jquery, words[n, NJOBS, 3], nchunks[B], njobs[B]) |
+        None, fallback)`` — ``nchunks`` is the max over shards; ``fallback``
+        lists cap-exceeding queries that degrade to the host path.
+        """
         cfg = self.config
         B = len(queries)
         n = self.n_shards
         C = self.CHUNK
+        fallback: List[int] = []
 
         tok_lists = [[t for t in tokenizer(q) if t] for q in queries]
-        for toks in tok_lists:
-            if len(toks) > cfg.max_query_terms:
-                raise ValueError(
-                    f"query has {len(toks)} terms > max_query_terms="
-                    f"{cfg.max_query_terms}"
-                )
+        max_terms = min(cfg.max_query_terms, 1 << self._qterm_bits)
+        for qi, toks in enumerate(tok_lists):
+            if len(toks) > max_terms:
+                fallback.append(qi)
+                tok_lists[qi] = []
         counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
         total_terms = int(counts.sum())
         if total_terms == 0 or len(self.terms) == 0:
-            return None
+            return None, fallback
         flat_query = np.repeat(np.arange(B, dtype=np.int64), counts)
         flat_qterm = _segment_arange(counts)
         flat_terms = np.asarray([t for toks in tok_lists for t in toks], dtype=np.str_)
@@ -150,34 +172,49 @@ class ShardedDeviceIndex:
         hi = np.searchsorted(self.terms, np.char.add(flat_terms, _MAX_CHAR), side="left")
         nexp = hi - lo
         if nexp.max(initial=0) == 0:
-            return None
-        if nexp.max(initial=0) > cfg.max_expansions:
-            raise ValueError("expansion cap exceeded; raise max_expansions")
+            return None, fallback
         tid = np.repeat(lo, nexp) + _segment_arange(nexp)
         jidx = np.repeat(np.arange(total_terms, dtype=np.int64), nexp)
+
+        # Global df per expansion (live posting pointers across all shards),
+        # two lookups in the live-occurrence cumsum; df == 0 expansions are
+        # never scored (query.rs:48) — drop their jobs.
+        jdf = (
+            self.g_live_cum[self.g_offsets[tid + 1]] - self.g_live_cum[self.g_offsets[tid]]
+        ).astype(np.float64)
+        keep = jdf > 0
+        tid, jidx, jdf = tid[keep], jidx[keep], jdf[keep]
+        if len(tid) == 0:
+            return None, fallback
+
+        # Expansion cap -> per-query host fallback (graceful degradation).
+        per_term_exp = np.bincount(jidx, minlength=total_terms)
+        bad: Set[int] = set(
+            int(q) for q in flat_query[np.flatnonzero(per_term_exp > cfg.max_expansions)]
+        )
+        if bad:
+            fallback.extend(sorted(bad))
+            keep2 = ~np.isin(flat_query[jidx], np.fromiter(bad, dtype=np.int64))
+            tid, jidx, jdf = tid[keep2], jidx[keep2], jdf[keep2]
+            if len(tid) == 0:
+                return None, fallback
         jquery = flat_query[jidx]
 
-        # One global dict -> df group id is the job's position within its
-        # query (jobs are query-sorted; zero-job queries contribute empty
-        # runs).
-        njobs = np.bincount(jquery, minlength=B)
-        group_local = _segment_arange(njobs)
-        if group_local.max(initial=0) > _MAX_GROUPS:
-            raise ValueError("too many df groups per query")
-
+        # Expansion boost (bm25.rs:44-55) -> premultiplied per-job scale
+        # (the vectorized before_each, models/base.py DeviceScorer).
         exact = self.terms[tid] == flat_terms[jidx]
         boost = np.where(
             exact, 1.0, np.log1p(1.0 / (1.0 + self.term_lens[tid] - flat_blen[jidx]))
-        ).astype(np.float32)
+        )
+        scale = scorer.device_term_scale(jdf, self.n_docs, boost)
 
-        # Per-shard job words (same job order on every shard — required so
-        # group ids align for the df psum).
+        # Per-shard job words (same job order on every shard, so one static
+        # class layout serves the whole mesh).
         NJOBS = len(tid)
         words = np.empty((n, NJOBS, 3), dtype=np.int32)
-        meta1 = (
-            (flat_qterm[jidx] << _LEN_BITS) | (group_local << (_LEN_BITS + _QT_BITS))
-        ).astype(np.int64)
+        meta1 = (flat_qterm[jidx] << _LEN_BITS).astype(np.int64)
         max_chunks = np.zeros(B, dtype=np.int64)
+        CP = C - 128
         for s in range(n):
             offs = self.offsets_sh[s]
             start = offs[tid]
@@ -186,19 +223,23 @@ class ShardedDeviceIndex:
                 raise ValueError("per-shard posting list exceeds packed job length")
             words[s, :, 0] = start
             words[s, :, 1] = length | meta1
-            words[s, :, 2] = boost.view(np.int32)
-            nch = np.bincount(jquery, weights=((length + (C - 128) - 1) // (C - 128)).astype(np.float64), minlength=B)
+            words[s, :, 2] = scale.view(np.int32)
+            nch = np.bincount(
+                jquery, weights=((length + CP - 1) // CP).astype(np.float64), minlength=B
+            )
             np.maximum(max_chunks, nch.astype(np.int64), out=max_chunks)
-        return jquery, words, max_chunks, njobs
+        njobs = np.bincount(jquery, minlength=B)
+        return (jquery, words, max_chunks, njobs), fallback
 
     # ------------------------------------------------------------------ #
     # execution                                                           #
     # ------------------------------------------------------------------ #
 
-    def _get_sharded_step(self, scorer, nc: int, nj: int, k: int, b_local: int):
+    def _get_window_step(self, scorer, class_specs, k: int):
         key = (
             getattr(scorer, "device_cache_key", lambda: ("id", id(scorer)))(),
-            nc, nj, k, b_local,
+            class_specs,
+            k,
         )
         fn = self._step_cache.get(key)
         if fn is not None:
@@ -211,47 +252,54 @@ class ShardedDeviceIndex:
         C = self.CHUNK
         qb = self._qterm_bits
 
-        def per_shard(rec_blk, jobs_blk, field_avg, n_docs, fields_boost):
-            rec_l = rec_blk[0]  # [P+C, R]
-            jobs_l = jobs_blk[0, 0]  # [B_local, NJ*3]
-            scores, docs_local = _query_step_impl(
-                scorer,
-                chunk=C,
-                k=k,
-                qterm_bits=qb,
-                num_fields=self.num_fields,
-                num_chunks=nc,
-                rec=rec_l,
-                field_avg=field_avg,
-                n_docs=n_docs,
-                fields_boost=fields_boost,
-                jobs_flat=jobs_l,
-                df_reduce=lambda df: jax.lax.psum(df, "docs"),
-            )
+        def per_cell(rec_blk, words_blk, field_avg, fields_boost):
+            rec_l = rec_blk[0]  # [R, Pmax + C]
+            w = words_blk[0, 0]  # [total_words] int32
+            outs = []
+            off = 0
+            for b_pad, nj, nc in class_specs:
+                nwords = b_pad * nj * 3
+                jobs_l = w[off : off + nwords].reshape(b_pad, nj * 3)
+                off += nwords
+                kk = min(k, nc * C)
+                s, d_local = _query_step_impl(
+                    scorer,
+                    chunk=C,
+                    k=kk,
+                    qterm_bits=qb,
+                    num_fields=self.num_fields,
+                    num_chunks=nc,
+                    rec=rec_l,
+                    field_avg=field_avg,
+                    fields_boost=fields_boost,
+                    jobs_flat=jobs_l,
+                )
+                if kk < k:
+                    s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+                    d_local = jnp.pad(d_local, ((0, 0), (0, k - kk)), constant_values=-1)
+                outs.append((s, d_local))
+            scores = jnp.concatenate([o[0] for o in outs], axis=0)  # [SB, k]
+            docs_local = jnp.concatenate([o[1] for o in outs], axis=0)
             shard_id = jax.lax.axis_index("docs")
             docs_global = jnp.where(docs_local >= 0, docs_local * n + shard_id, -1)
             # Merge per-shard top-k: all-gather O(k) values, reduce.
-            s_all = jax.lax.all_gather(scores, "docs")  # [n, B_local, k]
+            s_all = jax.lax.all_gather(scores, "docs")  # [n, SB, k]
             d_all = jax.lax.all_gather(docs_global, "docs")
-            s_cat = jnp.moveaxis(s_all, 0, 1).reshape(scores.shape[0], n * k)
-            d_cat = jnp.moveaxis(d_all, 0, 1).reshape(scores.shape[0], n * k)
+            SB = scores.shape[0]
+            s_cat = jnp.moveaxis(s_all, 0, 1).reshape(SB, n * k)
+            d_cat = jnp.moveaxis(d_all, 0, 1).reshape(SB, n * k)
             v, i = jax.lax.top_k(s_cat, k)
             d = jnp.take_along_axis(d_cat, i, axis=1)
             d = jnp.where(jnp.isfinite(v), d, -1)
-            return v[None, None], d[None, None]  # [1, 1, B_local, k]
+            packed = jnp.stack([jax.lax.bitcast_convert_type(v, jnp.int32), d], axis=1)
+            return packed[None, None]  # [1, 1, SB, 2, k]
 
         fn = jax.jit(
             jax.shard_map(
-                per_shard,
+                per_cell,
                 mesh=mesh,
-                in_specs=(
-                    P("docs", None, None),
-                    P("docs", "data", None, None),
-                    P(),
-                    P(),
-                    P(),
-                ),
-                out_specs=(P("docs", "data", None, None), P("docs", "data", None, None)),
+                in_specs=(P("docs", None, None), P("docs", "data", None), P(), P()),
+                out_specs=P("docs", "data", None, None, None),
             )
         )
         self._step_cache[key] = fn
@@ -265,53 +313,121 @@ class ShardedDeviceIndex:
         fields_boost: Optional[Sequence[float]] = None,
         top_k: Optional[int] = None,
     ) -> List[List[QueryResult]]:
+        """Blocking convenience over :meth:`query_batch_async`."""
+        return self.query_batch_async(
+            queries, scorer, tokenizer, fields_boost, top_k
+        ).get()
+
+    def query_batch_async(
+        self,
+        queries: Sequence[str],
+        scorer,
+        tokenizer=whitespace_tokenizer,
+        fields_boost: Optional[Sequence[float]] = None,
+        top_k: Optional[int] = None,
+    ) -> "ShardedPendingBatch":
+        from ..utils.metrics import metrics
+
         if fields_boost is None:
             fields_boost = [1.0] * self.num_fields
         k = top_k or self.config.default_top_k
         B = len(queries)
-        planned = self.plan_batch(queries, tokenizer)
+        metrics.inc("sharded_queries_submitted", B)
+        with metrics.timer("sharded/plan"):
+            planned, fallback = self.plan_batch(queries, tokenizer, scorer)
+        host_rows = None
+        if fallback:
+            metrics.inc("device_fallback_queries", len(fallback))
+            host_rows = {
+                qi: self._index.query(queries[qi], scorer, tokenizer, fields_boost, top_k=k)
+                for qi in fallback
+            }
         if planned is None:
-            return [[] for _ in queries]
+            return ShardedPendingBatch(self, B, None, None, host_rows)
         jquery, words, max_chunks, njobs = planned
         n = self.n_shards
         d_ax = int(self.mesh.shape["data"])
-        C = self.CHUNK
 
-        nc = _bucket(int(max_chunks.max(initial=1)), self.NC_BUCKETS, 4)
-        nj = _bucket(int(njobs.max(initial=1)), self.NJ_BUCKETS, 4)
-        b_local = -(-B // d_ax)
-        b_local = max(1, b_local)
-
-        jobs = np.zeros((n, d_ax, b_local, nj, 3), dtype=np.int32)
-        # Scatter job words: query q -> (data row q // b_local, slot q % b_local).
-        pos = _segment_arange(np.bincount(jquery, minlength=B))
-        drow = jquery // b_local
-        dslot = jquery % b_local
-        jobs[:, drow, dslot, pos] = words
-        jobs_flat = jobs.reshape(n, d_ax, b_local, nj * 3)
-
-        step = self._get_sharded_step(scorer, nc, nj, k, b_local)
-        jobs_dev = jax.device_put(
-            jobs_flat, NamedSharding(self.mesh, P("docs", "data", None, None))
-        )
-        v, d = step(
-            self.rec,
-            jobs_dev,
-            self.field_avg,
-            jnp.float32(self.n_docs),
-            jnp.asarray(np.asarray(fields_boost, dtype=np.float32)),
-        )
-        v = np.asarray(v)[0]  # [data, b_local, k] (replicated over docs)
-        d = np.asarray(d)[0]
-        out: List[List[QueryResult]] = []
-        for q in range(B):
-            vr = v[q // b_local, q % b_local]
-            dr = d[q // b_local, q % b_local]
-            out.append(
-                [
-                    QueryResult(key=self.slot_to_key[int(g)], score=float(s))
-                    for s, g in zip(vr, dr)
-                    if g >= 0 and np.isfinite(s)
-                ]
+        # Shape classes (same bucketing as the single-chip engine), packed
+        # into one flat per-(shard, data) buffer.
+        with metrics.timer("sharded/pack"):
+            nc_bucket = np.array(
+                [_bucket(int(c), self.NC_BUCKETS, 4) for c in max_chunks], dtype=np.int64
             )
-        return out
+            class_specs = []
+            layout = []  # (query_indices, data_rows, data_slots, row_offset)
+            flat_parts = [[] for _ in range(n)]
+            row_base = 0
+            for nc in np.unique(nc_bucket):
+                nc = int(nc)
+                members = np.flatnonzero((nc_bucket == nc) & (njobs > 0))
+                if len(members) == 0:
+                    continue
+                nj = _bucket(int(njobs[members].max()), self.NJ_BUCKETS, 4)
+                b_pad = max(8, 1 << (-(-len(members) // d_ax) - 1).bit_length())
+                rank = np.arange(len(members))
+                drow = rank // b_pad
+                dslot = rank % b_pad
+                jobs_cls = np.zeros((n, d_ax, b_pad, nj, 3), dtype=np.int32)
+                sel = np.isin(jquery, members)
+                jq = jquery[sel]
+                pos = _segment_arange(np.bincount(jq, minlength=B)[members])
+                r = np.searchsorted(members, jq)
+                jobs_cls[:, drow[r], dslot[r], pos] = words[:, sel]
+                for s in range(n):
+                    flat_parts[s].append(jobs_cls[s].reshape(d_ax, -1))
+                class_specs.append((b_pad, nj, nc))
+                layout.append((members, drow, dslot, row_base))
+                row_base += b_pad
+            if not class_specs:
+                return ShardedPendingBatch(self, B, None, None, host_rows)
+            buf = np.stack(
+                [np.concatenate(parts, axis=1) for parts in flat_parts]
+            )  # [n, d_ax, total_words]
+
+        step = self._get_window_step(scorer, tuple(class_specs), k)
+        with metrics.timer("sharded/dispatch"):
+            buf_dev = jax.device_put(buf, NamedSharding(self.mesh, P("docs", "data", None)))
+            packed = step(
+                self.rec,
+                buf_dev,
+                self.field_avg,
+                jnp.asarray(np.asarray(fields_boost, dtype=np.float32)),
+            )
+        return ShardedPendingBatch(self, B, packed, layout, host_rows)
+
+
+class ShardedPendingBatch:
+    """Handle for an in-flight sharded query window."""
+
+    def __init__(self, sdix, n, packed, layout, host_rows=None) -> None:
+        self._sdix = sdix
+        self._n = n
+        self._packed = packed  # [n_shards, d_ax, SB, 2, k] (replicated over docs)
+        self._layout = layout
+        self._host_rows = host_rows
+
+    def get(self) -> List[List[QueryResult]]:
+        from ..utils.metrics import metrics
+
+        results: List[List[QueryResult]] = [[] for _ in range(self._n)]
+        if self._host_rows:
+            for qi, row in self._host_rows.items():
+                results[qi] = row
+        if self._packed is None:
+            return results
+        sdix = self._sdix
+        with metrics.timer("sharded/drain"):
+            packed = np.asarray(self._packed)[0]  # [d_ax, SB, 2, k]
+            scores = packed[:, :, 0, :].view(np.float32)
+            docs = packed[:, :, 1, :]
+            for members, drow, dslot, row_base in self._layout:
+                for m, r, sl in zip(members, drow, dslot):
+                    vr = scores[r, row_base + sl]
+                    dr = docs[r, row_base + sl]
+                    results[int(m)] = [
+                        QueryResult(key=sdix.slot_to_key[int(g)], score=float(s))
+                        for s, g in zip(vr, dr)
+                        if g >= 0 and np.isfinite(s)
+                    ]
+        return results

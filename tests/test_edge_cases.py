@@ -52,10 +52,12 @@ def test_max_expansions_degrades_to_host_path():
     assert rows[1][0].key == 1  # in-cap query still served (by the device)
 
 
-def test_df_group_cap_degrades_to_host_path():
-    # >256 df groups in one query: every term expands uniquely, 20 terms x
-    # 16 expansions each = 320 groups.
-    from probly_search_tpu.index.device import _MAX_GROUPS
+def test_many_df_groups_run_on_device():
+    # 16 terms x 20 unique expansions = 320 distinct (term, expansion)
+    # groups in one query.  df/idf are premultiplied on host into per-job
+    # scales, so there is no device-side group cap: the whole query runs on
+    # the device path (no fallback) with oracle-identical results.
+    from probly_search_tpu.utils.metrics import metrics
 
     cfg = IndexConfig(max_expansions=64, max_query_terms=16)
     ix = Index(1, config=cfg)
@@ -65,11 +67,15 @@ def test_df_group_cap_degrades_to_host_path():
         for j in range(20):
             ix.add_document([title_extract], tokenizer, kid, Doc(id=kid, title=f"{p}x{j:02d}"))
             kid += 1
-    query = " ".join(prefixes)  # 16 terms x 20 expansions = 320 > 255 groups
+    query = " ".join(prefixes)
+    before = metrics.snapshot()["counters"].get("device_fallback_queries", 0)
     rows = ix.query_batch([query], bm25.new(), top_k=5, backend="device")
     oracle = ix.query(query, bm25.new(), tokenizer, [1.0], top_k=5)
     assert [r.key for r in rows[0]] == [r.key for r in oracle]
-    assert 16 * 20 > _MAX_GROUPS
+    for h, d in zip(oracle, rows[0]):
+        assert abs(h.score - d.score) < 2e-5 * max(1.0, abs(h.score))
+    after = metrics.snapshot()["counters"].get("device_fallback_queries", 0)
+    assert after == before  # served on device, no fallback
 
 
 def test_unicode_terms_and_prefixes():

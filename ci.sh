@@ -8,8 +8,11 @@ echo "== syntax / import check =="
 python -m compileall -q probly_search_tpu tests bench.py __graft_entry__.py
 python -c "import probly_search_tpu"
 
-echo "== unit + integration tests (CPU, virtual 8-device mesh) =="
-python -m pytest tests/ -q
+echo "== lint (stdlib clippy/rustfmt analogue, ci.yml:44-69) =="
+python tools/lint.py
+
+echo "== unit + integration tests + coverage floor (grcov analogue, ci.yml:71-117) =="
+python -m tools.covgate 85 tests/ -q
 
 echo "== entry-point checks =="
 JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" python - <<'EOF'

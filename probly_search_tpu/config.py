@@ -8,7 +8,7 @@ TPU-specific ones (tile sizes, bucketing, dtype policy, mesh layout).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass
@@ -28,11 +28,9 @@ class IndexConfig:
     max_segments: int = 8
 
     # --- device / TPU knobs -------------------------------------------------
-    # Lane-count buckets for the padded posting tile of a query batch.  The
-    # device query program is compiled once per (batch, jobs, lanes) bucket.
-    lane_buckets: tuple[int, ...] = (2048, 8192, 32768, 131072, 524288, 2097152)
     # Max expansions considered per query term on the device path (the exact
-    # host path has no cap, matching the reference).
+    # host path has no cap, matching the reference; over-cap queries degrade
+    # to the host path per query).
     max_expansions: int = 64
     # Max query terms per query on the device path.
     max_query_terms: int = 16

@@ -396,7 +396,9 @@ class Index:
             for slot, best in term_best.items():
                 scores[slot] = scores.get(slot, 0.0) + best
 
-        results = [QueryResult(key=self._slot_to_key[slot], score=sc) for slot, sc in scores.items()]
+        results = [
+            QueryResult(key=self._slot_to_key[slot], score=sc) for slot, sc in scores.items()
+        ]
         score_calculator.finalize(results)
         slot_order = {self._slot_to_key[slot]: slot for slot in scores}
         results.sort(key=lambda r: (-r.score, slot_order[r.key]))

@@ -127,7 +127,10 @@ class BaseScoreCalculator:
     def before_each(self, term_expansion, document_frequency, documents):
         return None
 
-    def score(self, before_output, document_pointer, document_details, index_node, field_data, term_expansion):
+    def score(
+        self, before_output, document_pointer, document_details,
+        index_node, field_data, term_expansion,
+    ):
         raise NotImplementedError
 
     def finalize(self, scores):

@@ -192,7 +192,9 @@ def merge_body(k: int, qterm_bits: int, key_in, score_in, out_s, out_d, ks, vs, 
 def _merge_kernel(k: int, qterm_bits: int, key_ref, score_ref, out_s_ref, out_d_ref, ks, vs, hs):
     # input/output refs are [1, rows, L] / [1, rows, k] blocks (3-D so
     # trailing dims equal the array's; Pallas TPU block rule).
-    merge_body(k, qterm_bits, key_ref[0], score_ref[0], out_s_ref.at[0], out_d_ref.at[0], ks, vs, hs)
+    merge_body(
+        k, qterm_bits, key_ref[0], score_ref[0], out_s_ref.at[0], out_d_ref.at[0], ks, vs, hs
+    )
 
 
 def pick_rows_per_block(B: int, L: int, bytes_per_lane: int = 60, budget: int = 12 << 20) -> int:

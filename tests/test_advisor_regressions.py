@@ -1,8 +1,5 @@
 """Regressions for the round-1 advisor findings (ADVICE.md)."""
 
-import os
-import tempfile
-
 import numpy as np
 import pytest
 

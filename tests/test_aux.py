@@ -1,6 +1,5 @@
 """Aux subsystems: metrics, profiling phases, native runtime, config."""
 
-import numpy as np
 
 from probly_search_tpu import Index, IndexConfig, bm25
 from probly_search_tpu.utils.metrics import Registry, index_stats, metrics

@@ -9,7 +9,6 @@ Every golden value is imported verbatim from the reference:
 
 from dataclasses import dataclass
 
-import pytest
 
 from probly_search_tpu import Index, bm25
 from .util import (

@@ -4,10 +4,9 @@ query results for both scorers."""
 
 import random
 
-import numpy as np
 
 from probly_search_tpu import Index, bm25, zero_to_one
-from .util import Doc, title_extract, text_extract, tokenizer
+from .util import tokenizer
 
 
 def _rand_corpus(n, seed=0, fields=1):

@@ -4,12 +4,10 @@ well-separated scores, scores within f32 tolerance (SURVEY §7 hard part 1).
 """
 
 import random
-import string
 
 import numpy as np
-import pytest
 
-from probly_search_tpu import Index, bm25, whitespace_tokenizer
+from probly_search_tpu import Index, bm25
 from .util import Doc, build_test_index, title_extract, tokenizer
 
 RTOL = 2e-5

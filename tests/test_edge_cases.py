@@ -1,6 +1,5 @@
 """Edge cases and error paths."""
 
-import numpy as np
 import pytest
 
 from probly_search_tpu import Index, IndexConfig, bm25, zero_to_one

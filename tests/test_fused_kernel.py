@@ -6,7 +6,7 @@ import pytest
 
 import probly_search_tpu.index.device as dev
 from probly_search_tpu import Index, bm25
-from .util import Doc, build_test_index, title_extract, tokenizer
+from .util import Doc, title_extract, tokenizer
 
 
 @pytest.fixture

@@ -11,7 +11,6 @@ import math
 from dataclasses import dataclass
 
 import numpy as np
-import pytest
 
 from probly_search_tpu import Index
 from .util import tokenizer

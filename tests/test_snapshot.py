@@ -1,8 +1,6 @@
 """Snapshot save/load: query results must be identical across a round trip,
 including latent-deletion state (SURVEY §5 checkpoint/resume plan)."""
 
-import numpy as np
-import pytest
 
 from probly_search_tpu import Index, bm25, zero_to_one
 from probly_search_tpu.index import snapshot

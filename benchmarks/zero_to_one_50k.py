@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""zero-to-one benchmark at the BASELINE.md config: 50k docs, 2 fields,
+top-10 — the reference's WASM demo scale (recipe-title search,
+`/root/reference/README.md:10-13`).
+
+Measures device-path QPS and verifies parity against the exact f64 host
+oracle on a query sample.  Prints one JSON line (diagnostics on stderr).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    log(f"devices: {jax.devices()}")
+    from probly_search_tpu import Index, zero_to_one, whitespace_tokenizer
+
+    n_docs = 50_000
+    rng = np.random.default_rng(7)
+    vocab = np.array(["w%04d" % i for i in range(4000)])
+    weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.05
+    cdf = np.cumsum(weights)
+    cdf /= cdf[-1]
+
+    def texts(n, length):
+        ids = np.searchsorted(cdf, rng.random((n, length)))
+        return [" ".join(row) for row in vocab[np.minimum(ids, len(vocab) - 1)]]
+
+    t0 = time.time()
+    titles = texts(n_docs, 3)  # short title-like field
+    bodies = texts(n_docs, 8)
+    ix = Index(2)
+    ix.add_documents_columnar(list(range(n_docs)), [titles, bodies])
+    log(f"index build: {time.time() - t0:.1f}s")
+
+    n_queries = 512
+    qids = np.searchsorted(cdf, 0.05 + rng.random((n_queries, 2)) * 0.95)
+    queries = [" ".join(row) for row in vocab[np.minimum(qids, len(vocab) - 1)]]
+
+    scorer = zero_to_one.new()
+    # Warmup (compiles every shape class this workload hits).
+    ix.query_batch(queries, scorer, top_k=10, backend="device")
+    t1 = time.time()
+    n_passes = 3
+    for _ in range(n_passes):
+        rows = ix.query_batch(queries, scorer, top_k=10, backend="device")
+    elapsed = time.time() - t1
+    qps = n_passes * n_queries / elapsed
+    log(f"timed: {n_passes * n_queries} queries in {elapsed:.2f}s -> {qps:.0f} QPS")
+
+    # Parity vs the exact host oracle on a sample.
+    sample = queries[:24]
+    rows = ix.query_batch(sample, scorer, top_k=10, backend="device")
+    worst = 0.0
+    for q, row in zip(sample, rows):
+        oracle = ix.query(q, zero_to_one.new(), whitespace_tokenizer, [1.0, 1.0], top_k=10)
+        assert len(row) == len(oracle), q
+        a = sorted(r.score for r in row)
+        b = sorted(r.score for r in oracle)
+        worst = max(
+            worst,
+            max(
+                (abs(x - y) / max(1e-9, abs(y)) for x, y in zip(a, b)),
+                default=0.0,
+            ),
+        )
+    log(f"parity vs f64 oracle on {len(sample)} queries: worst rel err {worst:.2e}")
+    assert worst < 1e-4
+
+    print(
+        json.dumps(
+            {
+                "metric": "zero_to_one_qps_50k_docs_2f",
+                "value": round(qps, 1),
+                "unit": "queries/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -431,12 +431,13 @@ class Index:
         device_capable = hasattr(score_calculator, "device_score_lanes") and not getattr(
             score_calculator, "device_needs_finalize", True
         )
-        if backend == "device" and not device_capable:
+        device_two_phase = getattr(score_calculator, "device_two_phase", False)
+        if backend == "device" and not (device_capable or device_two_phase):
             raise ValueError(
                 f"{type(score_calculator).__name__} does not implement the "
                 "device scorer protocol; use backend='exact'"
             )
-        if backend in ("auto", "device") and device_capable:
+        if backend in ("auto", "device") and (device_capable or device_two_phase):
             try:
                 dix = self.device_index()
             except ValueError:
@@ -448,6 +449,14 @@ class Index:
 
                 metrics.inc("device_snapshot_fallbacks")
             else:
+                if device_two_phase:
+                    # zero-to-one: sorted lockstep consumption device
+                    # program (ops/z2o_device.py).
+                    from ..ops.z2o_device import z2o_query_batch
+
+                    return z2o_query_batch(
+                        dix, queries, tokenizer, k, scorer=score_calculator
+                    )
                 return dix.query_batch(
                     queries, score_calculator, tokenizer, fields_boost, top_k=k
                 )

@@ -67,6 +67,9 @@ class ZeroToOne(BaseScoreCalculator):
     """Stateful zero-to-one scorer (zero_to_one.rs:24-127)."""
 
     device_needs_finalize = True
+    # Two-phase device protocol: executed by ops/z2o_device.py as a sorted
+    # lockstep consumption program (SURVEY §7 M4).
+    device_two_phase = True
 
     def __init__(self):
         # key -> per-field list of ScoreByTerm (zero_to_one.rs:25).

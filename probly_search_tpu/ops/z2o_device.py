@@ -1,0 +1,435 @@
+"""zero-to-one scorer on device (SURVEY §7 M4).
+
+The reference's zero-to-one finalize (`/root/reference/src/score/default/
+zero_to_one.rs:84-126`) is a per-(doc, field) sequential consumption loop:
+sort recorded entries by score desc, then greedily accept each entry unless
+its query term was already consumed or its trie node's df pool (initialized
+``tf - 1``, decremented on reuse) is exhausted; accepted entries contribute
+``min(score/tf, 1) * tf / max(field_length, query_terms_len)``; the doc
+score is the max over fields of the pool sums.
+
+Device formulation (one XLA program per shape class):
+
+* Per-job constants are computed at plan time: the entry score
+  ``1 - |len(exp) - len(term)| / len(exp)`` (byte lengths, zero_to_one.rs:
+  57-58) and the node id (one id per DISTINCT expanded term per query —
+  the arena index identity, zero_to_one.rs:75).
+* On device: chunk-expand jobs, slice-gather postings, emit one entry lane
+  per (posting, field) with tf > 0, and sort lanes by
+  (packed (doc, field) segment, score desc, enumeration seq) — the exact
+  stable order of the host oracle.
+* The sequential consumption becomes a LOCKSTEP loop: step ``e`` processes
+  the e-th entry of every (doc, field) segment simultaneously.  The pool
+  rule "init tf-1, decrement, skip when exhausted" is equivalent to
+  "accept at most tf entries per (segment, node)", so the state is
+  - ``consumed``: per-segment bitmask over query-term indices, carried in
+    every lane of the segment and propagated with a segmented bitwise-OR
+    scan (monotone, so later steps only add bits);
+  - ``counts``: accepted count per (segment, node), stored at the
+    segment-node's first lane (``pool_slot``) and accessed with
+    gather/scatter-add.
+* Post-loop: segmented sum of accepted contributions per segment, max over
+  the segments of each doc, ``top_k``.
+
+The loop length is the class's padded job count (a segment has at most one
+entry per (query term, node) job), so cost is O(jobs * lanes) vector work.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .merge import segmented_scan, _shift_right
+
+_I32_MAX = np.iinfo(np.int32).max
+_LEN_BITS = 26
+_QT_BITS = 4
+
+
+def z2o_step(
+    chunk: int,
+    k: int,
+    num_fields: int,
+    num_chunks: int,
+    rec,
+    jobs_flat,
+    qlen,
+):
+    """One z2o dispatch.
+
+    Args:
+      jobs_flat: int32[B * NJ * 4] — words (start, len | qterm << 26,
+        node_id, score_f32_bits) per job.
+      qlen: f32[B] — query_terms_len per query (INCLUDING empty tokens,
+        query.rs:32; the normalization denominator, zero_to_one.rs:119).
+
+    Returns (top_scores f32[B, k], top_docs int32[B, k]).
+    """
+    F = num_fields
+    C = chunk
+    NC = num_chunks
+    jobs = jobs_flat.reshape(-1, jobs_flat.shape[-1] // 4, 4)
+    B, NJ, _ = jobs.shape
+    L = NC * C
+
+    jstart = jobs[..., 0]
+    w1 = jobs[..., 1]
+    jlen = w1 & ((1 << _LEN_BITS) - 1)
+    jqterm = (w1 >> _LEN_BITS) & ((1 << _QT_BITS) - 1)
+    jnode = jobs[..., 2]
+    jscore = jax.lax.bitcast_convert_type(jobs[..., 3], jnp.float32)
+
+    # --- chunk expansion + gather (as in index/device.py) ---------------- #
+    CP = C - 128
+    njc = (jlen + (CP - 1)) // CP
+    cum = jnp.cumsum(njc, axis=1)
+    chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (B, NC), dimension=1)
+    chunk_job = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
+        cum, chunk_ids
+    ).astype(jnp.int32)
+    jc = jnp.minimum(chunk_job, NJ - 1)
+
+    def take(a):
+        return jnp.take_along_axis(a, jc, axis=1)
+
+    within = chunk_ids - (take(cum) - take(njc))
+    raw = take(jstart) + within * CP
+    c_start = (raw // 128) * 128
+    c_skip = raw - c_start
+    c_len = jnp.clip(take(jlen) - within * CP, 0, CP)
+    c_valid = chunk_ids < cum[:, -1:]
+    c_len = jnp.where(c_valid, c_len, 0)
+    c_start = jnp.where(c_valid, c_start, 0)
+    c_skip = jnp.where(c_valid, c_skip, 0)
+    c_qterm = take(jqterm)
+    c_node = take(jnode)
+    c_score = take(jscore)
+
+    R = rec.shape[0]
+
+    def one(s):
+        return jax.lax.dynamic_slice(rec, (0, s), (R, C))
+
+    g = jax.vmap(jax.vmap(one))(c_start)
+    doc = g[:, :, 0, :]  # [B, NC, C]
+    tf = g[:, :, 1 : 1 + F, :].astype(jnp.float32)  # [B, NC, F, C]
+    flen = jax.lax.bitcast_convert_type(g[:, :, 1 + F : 1 + 2 * F, :], jnp.float32)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, NC, C), dimension=2)
+    live = (
+        (pos >= c_skip[..., None]) & (pos < (c_skip + c_len)[..., None]) & (doc >= 0)
+    )
+
+    # --- entries: one lane per (posting, field) with tf > 0 -------------- #
+    # [B, F, NC, C] with field-major seq is fine: ties needing the stable
+    # enumeration order only occur WITHIN one (doc, field) segment.
+    def fexp(a):  # [B, NC, C] -> [B, F, L]
+        return jnp.broadcast_to(a[:, None], (B, F, NC, C)).reshape(B, F, L)
+
+    tf_e = jnp.moveaxis(tf, 2, 1).reshape(B, F, L)
+    flen_e = jnp.moveaxis(flen, 2, 1).reshape(B, F, L)
+    doc_e = fexp(doc)
+    mask = fexp(live) & (tf_e > 0)
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (B, F, L), dimension=1)
+    # Packed (doc, field) segment key; doc < 2^27 and F <= 8 by capacity
+    # checks, so the shift is safe in int32.
+    k1 = jnp.where(mask, (doc_e << 3) | fidx, _I32_MAX)
+    s_e = fexp(jnp.broadcast_to(c_score[..., None], (B, NC, C)))
+    q_e = fexp(jnp.broadcast_to(c_qterm[..., None], (B, NC, C)))
+    n_e = fexp(jnp.broadcast_to(c_node[..., None], (B, NC, C)))
+    # Contribution if accepted (zero_to_one.rs:118-120).
+    contrib = (
+        jnp.minimum(s_e / tf_e, 1.0) * tf_e / jnp.maximum(flen_e, qlen[:, None, None])
+    )
+    contrib = jnp.where(mask, contrib, 0.0)
+    seq = jax.lax.broadcasted_iota(jnp.int32, (B, F, L), dimension=2)  # within field
+
+    FL = F * L
+    ops = [a.reshape(B, FL) for a in (k1, -s_e, seq, q_e, n_e, tf_e, contrib)]
+    k1s, negs, _seqs, qs, ns, tfs, contribs = jax.lax.sort(
+        tuple(ops), dimension=1, num_keys=3
+    )
+
+    # --- segment structure ------------------------------------------------ #
+    head = (k1s != _shift_right(k1s, -1)).astype(jnp.int32)  # [B, FL]
+    ones = jnp.ones_like(head)
+    pos_in_seg = segmented_scan(jnp.add, ones, head > 0) - 1
+
+    # pool_slot: position of the FIRST lane with the same (segment, node).
+    posg = jax.lax.broadcasted_iota(jnp.int32, (B, FL), dimension=1)
+    k1b, nb, _pb, origb = jax.lax.sort((k1s, ns, posg, posg), dimension=1, num_keys=3)
+    headb = ((k1b != _shift_right(k1b, -1)) | (nb != _shift_right(nb, -1)))
+    firstb = segmented_scan(jnp.maximum, jnp.where(headb, _pb, -1), headb)
+    pool_slot = jnp.zeros((B, FL), jnp.int32).at[
+        jax.lax.broadcasted_iota(jnp.int32, (B, FL), 0), origb
+    ].set(firstb)
+
+    valid = k1s != _I32_MAX
+
+    # --- lockstep consumption loop (zero_to_one.rs:98-121) --------------- #
+    def body(e, state):
+        consumed, counts, accepted = state
+        active = (pos_in_seg == e) & valid
+        bit = jnp.left_shift(jnp.int32(1), qs)
+        ok = active & ((consumed & bit) == 0)
+        cnt_ps = jnp.take_along_axis(counts, pool_slot, axis=1)
+        take_ = ok & (cnt_ps < tfs)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (B, FL), 0)
+        counts = counts.at[rows, pool_slot].add(jnp.where(take_, 1.0, 0.0))
+        delta = jnp.where(take_, bit, 0)
+        consumed = consumed | segmented_scan(jnp.bitwise_or, delta, head > 0)
+        accepted = accepted | take_.astype(jnp.int32)
+        return consumed, counts, accepted
+
+    consumed0 = jnp.zeros((B, FL), jnp.int32)
+    counts0 = jnp.zeros((B, FL), jnp.float32)
+    accepted0 = jnp.zeros((B, FL), jnp.int32)
+    _, _, accepted = jax.lax.fori_loop(0, NJ, body, (consumed0, counts0, accepted0))
+
+    # --- pool sums per (doc, field); doc score = max over fields ---------- #
+    val = jnp.where(accepted > 0, contribs, 0.0)
+    seg_sum = segmented_scan(jnp.add, val, head > 0)
+    tail1 = k1s != jnp.concatenate([k1s[:, 1:], jnp.full_like(k1s[:, :1], -1)], axis=1)
+    dock = jnp.where(valid, k1s >> 3, _I32_MAX)
+    # Per-field pool sum sits at each segment tail; docs always score >= 0
+    # (the provisional 0 from score(), zero_to_one.rs:81).
+    field_val = jnp.where(tail1 & valid, jnp.maximum(seg_sum, 0.0), -jnp.inf)
+    head_d = (dock != _shift_right(dock, -1)) & valid
+    doc_max = segmented_scan(jnp.maximum, field_val, head_d)
+    tail_d = dock != jnp.concatenate(
+        [dock[:, 1:], jnp.full_like(dock[:, :1], -1)], axis=1
+    )
+    final = jnp.where(tail_d & valid, doc_max, -jnp.inf)
+    top_scores, top_lanes = jax.lax.top_k(final, k)
+    top_docs = jnp.take_along_axis(dock, top_lanes, axis=1)
+    top_docs = jnp.where(jnp.isfinite(top_scores), top_docs, -1)
+    return top_scores, top_docs
+
+
+def plan_batch_z2o(dix, queries, tokenizer):
+    """Plan a z2o batch into 4-word job tables.
+
+    Returns ``(jquery, words int32[NJOBS, 4], qlen f32[B], nchunks, njobs,
+    fallback)`` or ``(None, fallback)``-shaped ``(None, ..., fallback)``.
+    Node ids are per DISTINCT expanded term within a query (the reference's
+    arena-index identity, zero_to_one.rs:75) — shared across query terms
+    that expand to the same term, and across segments.
+    """
+    from ..index.device import _MAX_CHAR, _segment_arange
+
+    cfg = dix.config
+    B = len(queries)
+    fallback = []
+
+    tok_lists = [list(tokenizer(q)) for q in queries]
+    qlen = np.array([len(t) for t in tok_lists], dtype=np.float32)  # incl. empties
+    filt = [[t for t in toks if t] for toks in tok_lists]
+    max_terms = min(cfg.max_query_terms, 1 << _QT_BITS)
+    for qi, toks in enumerate(filt):
+        if len(toks) > max_terms:
+            fallback.append(qi)
+            filt[qi] = []
+    counts = np.array([len(t) for t in filt], dtype=np.int64)
+    total_terms = int(counts.sum())
+    if total_terms == 0 or dix.num_postings == 0:
+        return None, None, qlen, None, None, fallback
+    flat_query = np.repeat(np.arange(B, dtype=np.int64), counts)
+    flat_qterm = _segment_arange(counts)
+    flat_terms = np.asarray([t for toks in filt for t in toks], dtype=np.str_)
+    flat_upper = np.char.add(flat_terms, _MAX_CHAR)
+    flat_blen = np.char.str_len(np.char.encode(flat_terms, "utf-8")).astype(np.int64)
+
+    parts = []
+    for si in range(len(dix.segments)):
+        terms = dix.seg_terms[si]
+        if len(terms) == 0:
+            continue
+        lo = np.searchsorted(terms, flat_terms, side="left")
+        hi = np.searchsorted(terms, flat_upper, side="left")
+        nexp = hi - lo
+        if nexp.max(initial=0) == 0:
+            continue
+        tid = np.repeat(lo, nexp) + _segment_arange(nexp)
+        jidx = np.repeat(np.arange(total_terms, dtype=np.int64), nexp)
+        offs = dix.seg_offsets[si]
+        local = offs[tid].astype(np.int64)
+        length = (offs[tid + 1] - offs[tid]).astype(np.int64)
+        cum = dix.seg_live_cum[si]
+        ldf = cum[local + length] - cum[local]
+        parts.append(
+            (
+                jidx,
+                dix.seg_base[si] + local,
+                length,
+                terms[tid],
+                dix.seg_term_lens[si][tid].astype(np.int64),
+                ldf,
+                np.full(len(tid), si, np.int64),
+            )
+        )
+    if not parts:
+        return None, None, qlen, None, None, fallback
+    jidx, jstart, jlen, jexp, jblen, jldf, jseg = (
+        np.concatenate([p[i] for p in parts]) for i in range(7)
+    )
+    keep = jlen > 0
+    jidx, jstart, jlen, jexp, jblen, jldf, jseg = (
+        a[keep] for a in (jidx, jstart, jlen, jexp, jblen, jldf, jseg)
+    )
+    if len(jidx) == 0:
+        return None, None, qlen, None, None, fallback
+
+    # df over segments per (query term, expansion); df == 0 never scored
+    # (query.rs:48).
+    order = np.lexsort((jseg, jexp, jidx))
+    jidx, jstart, jlen, jexp, jblen, jldf, jseg = (
+        a[order] for a in (jidx, jstart, jlen, jexp, jblen, jldf, jseg)
+    )
+    new_g = np.ones(len(jidx), dtype=bool)
+    new_g[1:] = (jidx[1:] != jidx[:-1]) | (jexp[1:] != jexp[:-1])
+    gid = np.cumsum(new_g) - 1
+    gdf = np.bincount(gid, weights=jldf.astype(np.float64))
+    keep2 = gdf[gid] > 0
+    jidx, jstart, jlen, jexp, jblen = (
+        a[keep2] for a in (jidx, jstart, jlen, jexp, jblen)
+    )
+    new_g = new_g[keep2]
+    if len(jidx) == 0:
+        return None, None, qlen, None, None, fallback
+
+    per_term_exp = np.bincount(jidx[new_g], minlength=total_terms)
+    jquery = flat_query[jidx]
+    bad = set(
+        int(q)
+        for q in flat_query[np.flatnonzero(per_term_exp > cfg.max_expansions)]
+    )
+    if bad:
+        fallback.extend(sorted(bad))
+        keepq = ~np.isin(jquery, np.fromiter(bad, dtype=np.int64))
+        jidx, jstart, jlen, jexp, jblen, jquery = (
+            a[keepq] for a in (jidx, jstart, jlen, jexp, jblen, jquery)
+        )
+        if len(jidx) == 0:
+            return None, None, qlen, None, None, fallback
+
+    # Node ids: one per distinct expansion per QUERY (keyed by the expanded
+    # term alone — shared across query terms, zero_to_one.rs:75).
+    o2 = np.lexsort((jexp, jquery))
+    newn = np.ones(len(jidx), dtype=bool)
+    newn[1:] = (jquery[o2][1:] != jquery[o2][:-1]) | (jexp[o2][1:] != jexp[o2][:-1])
+    nid_sorted = np.cumsum(newn) - 1
+    qfirst = np.zeros(B + 1, dtype=np.int64)
+    np.add.at(qfirst, jquery[o2][newn] + 1, 1)
+    qfirst = np.cumsum(qfirst)
+    node_local_sorted = nid_sorted - qfirst[jquery[o2]]
+    node_local = np.empty(len(jidx), np.int64)
+    node_local[o2] = node_local_sorted
+
+    # Entry score: 1 - |len(exp) - len(term)| / len(exp), byte lengths
+    # (zero_to_one.rs:57-58); expansions never shorten, so always in (0, 1].
+    score = (1.0 - np.abs(jblen - flat_blen[jidx]) / jblen.astype(np.float64)).astype(
+        np.float32
+    )
+
+    words = np.empty((len(jidx), 4), dtype=np.int32)
+    words[:, 0] = jstart
+    words[:, 1] = jlen | (flat_qterm[jidx] << _LEN_BITS)
+    words[:, 2] = node_local
+    words[:, 3] = score.view(np.int32)
+
+    CP = dix.CHUNK - 128
+    job_chunks = (jlen + CP - 1) // CP
+    nchunks = np.bincount(jquery, weights=job_chunks.astype(np.float64), minlength=B)
+    njobs = np.bincount(jquery, minlength=B)
+    return jquery, words, qlen, nchunks.astype(np.int64), njobs, fallback
+
+
+_Z2O_STEP_CACHE = {}
+
+
+def _get_z2o_step():
+    fn = _Z2O_STEP_CACHE.get("step")
+    if fn is None:
+        fn = jax.jit(
+            z2o_step,
+            static_argnames=("chunk", "k", "num_fields", "num_chunks"),
+        )
+        _Z2O_STEP_CACHE["step"] = fn
+    return fn
+
+
+def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
+    """Batched zero-to-one execution on the device snapshot.
+
+    One dispatch per shape class (bucketing mirrors the BM25 engine).
+    Returns list-of-result-rows; cap-exceeding queries degrade to the exact
+    host path.
+    """
+    from ..index.device import _bucket, _segment_arange
+    from ..models.base import QueryResult
+    from ..models import zero_to_one as _z2o
+    from ..utils.metrics import metrics
+
+    B = len(queries)
+    k = top_k or dix.config.default_top_k
+    results = [[] for _ in range(B)]
+    jquery, words, qlen, nchunks, njobs, fallback = plan_batch_z2o(
+        dix, queries, tokenizer
+    )
+    if fallback:
+        metrics.inc("device_fallback_queries", len(fallback))
+        for qi in fallback:
+            results[qi] = dix._index.query(
+                queries[qi],
+                scorer if scorer is not None else _z2o.new(),
+                tokenizer,
+                [1.0] * dix.num_fields,
+                top_k=k,
+            )
+    if jquery is None:
+        return results
+
+    C = dix.CHUNK
+    nc_bucket = np.array(
+        [_bucket(int(c), dix.NC_BUCKETS, 4) for c in nchunks], dtype=np.int64
+    )
+    step = _get_z2o_step()
+    for nc in np.unique(nc_bucket):
+        nc = int(nc)
+        members = np.flatnonzero((nc_bucket == nc) & (njobs > 0))
+        if len(members) == 0:
+            continue
+        nj = _bucket(int(njobs[members].max()), dix.NJ_BUCKETS, 4)
+        b_cap = max(8, int(dix.LANES_PER_DISPATCH // (nc * C * dix.num_fields)))
+        for s in range(0, len(members), b_cap):
+            idxs = members[s : s + b_cap]
+            Bc = len(idxs)
+            B_pad = max(8, 1 << (Bc - 1).bit_length())
+            jobs_flat = np.zeros((B_pad, nj, 4), dtype=np.int32)
+            sel = np.isin(jquery, idxs)
+            jq = jquery[sel]
+            pos = _segment_arange(np.bincount(jq, minlength=B)[idxs])
+            row = np.searchsorted(idxs, jq)
+            jobs_flat[row, pos] = words[sel]
+            qlen_pad = np.ones(B_pad, np.float32)
+            qlen_pad[:Bc] = qlen[idxs]
+            top_scores, top_docs = step(
+                chunk=C,
+                k=min(k, nc * C * dix.num_fields),
+                num_fields=dix.num_fields,
+                num_chunks=nc,
+                rec=dix.rec,
+                jobs_flat=jnp.asarray(jobs_flat.reshape(B_pad, nj * 4)),
+                qlen=jnp.asarray(qlen_pad),
+            )
+            ts = np.asarray(top_scores)[:Bc]
+            td = np.asarray(top_docs)[:Bc]
+            for qi, srow, drow in zip(idxs, ts, td):
+                results[int(qi)] = [
+                    QueryResult(key=dix.slot_to_key[int(d)], score=float(sc))
+                    for sc, d in zip(srow, drow)
+                    if d >= 0 and np.isfinite(sc)
+                ][:k]
+    return results

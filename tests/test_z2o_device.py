@@ -1,0 +1,112 @@
+"""zero-to-one device execution (ops/z2o_device.py) vs the f64 host oracle.
+
+The oracle is the exact host path, itself pinned to the reference goldens
+(`/root/reference/src/score/default/zero_to_one.rs:129-405`) by
+tests/test_zero_to_one_golden.py.  Device scores are f32: equality to
+~1e-6 relative with identical rankings (modulo exact-score ties).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from probly_search_tpu import Index, zero_to_one
+from .util import Doc, build_test_index, title_extract, text_extract, tokenizer
+
+
+def _assert_matches_oracle(ix, queries, top_k=10):
+    rows = ix.query_batch(queries, zero_to_one.new(), tokenizer, top_k=top_k, backend="device")
+    for q, row in zip(queries, rows):
+        oracle = ix.query(q, zero_to_one.new(), tokenizer, [1.0] * ix.num_fields)
+        oracle = oracle[:top_k]
+        assert len(row) == len(oracle), (q, row, oracle)
+        # score multisets match (ties may reorder keys)
+        np.testing.assert_allclose(
+            sorted(r.score for r in row),
+            sorted(r.score for r in oracle),
+            rtol=1e-5,
+            atol=1e-7,
+            err_msg=q,
+        )
+        # every returned key's score equals that key's exact score
+        full = {r.key: r.score for r in ix.query(q, zero_to_one.new(), tokenizer, [1.0] * ix.num_fields)}
+        for r in row:
+            assert r.key in full
+            np.testing.assert_allclose(r.score, full[r.key], rtol=1e-5, atol=1e-7)
+
+
+def test_golden_corpus_device():
+    ix = build_test_index(["abc", "abcefg", "abcefghij"])
+    _assert_matches_oracle(ix, ["abc", "abcefg", "abcefghij", "abc abcefg", "a ab abc"])
+
+
+def test_repeated_query_terms_device():
+    # Repeated query terms are penalized (consumed-index rule).
+    ix = build_test_index(["abc abc", "abc"])
+    _assert_matches_oracle(ix, ["abc abc", "abc abc abc", "abc"])
+
+
+def test_df_pool_device():
+    # Pool rule: a node's df pool bounds how many query terms it can serve.
+    ix = build_test_index(["a a a", "a"])
+    _assert_matches_oracle(ix, ["a a", "a a a a", "a"])
+
+
+def test_multi_field_max_device():
+    ix = Index(2)
+    docs = [
+        Doc(id=0, title="abc def", text="xyz"),
+        Doc(id=1, title="xyz", text="abc def ghi"),
+        Doc(id=2, title="abc", text="abc"),
+    ]
+    for d in docs:
+        ix.add_document([title_extract, text_extract], tokenizer, d.id, d)
+    _assert_matches_oracle(ix, ["abc", "abc def", "xyz abc", "ghi"])
+
+
+def test_latent_delete_device():
+    ix = build_test_index(["abc", "abd", "abe"])
+    ix.remove_document(1)
+    _assert_matches_oracle(ix, ["ab", "abc", "abd"])
+
+
+def test_empty_tokens_in_query_device():
+    # query_terms_len counts BEFORE empty filtering (query.rs:32) and feeds
+    # the normalization denominator.
+    ix = build_test_index(["abc def"])
+    _assert_matches_oracle(ix, ["abc  def", " abc", "abc   "])
+
+
+def test_random_corpus_device():
+    rng = random.Random(11)
+    vocab = ["".join(rng.choice("abcde") for _ in range(rng.randint(1, 4))) for _ in range(60)]
+    ix = Index(1)
+    for i in range(150):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 7)))
+        ix.add_document([title_extract], tokenizer, i, Doc(id=i, title=text))
+    for i in range(20, 40):
+        ix.remove_document(i)
+    queries = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3))) for _ in range(12)]
+    queries += [rng.choice(vocab)[:1] for _ in range(4)]  # heavy prefix expansion
+    queries += ["", "zzzz"]
+    _assert_matches_oracle(ix, queries, top_k=10)
+
+
+def test_random_two_field_device():
+    rng = random.Random(3)
+    vocab = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 3))) for _ in range(30)]
+    ix = Index(2)
+    for i in range(80):
+        t = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4)))
+        x = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 6)))
+        ix.add_document([title_extract, text_extract], tokenizer, i, Doc(id=i, title=t, text=x))
+    queries = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3))) for _ in range(10)]
+    _assert_matches_oracle(ix, queries, top_k=8)
+
+
+def test_z2o_backend_device_accepted():
+    ix = build_test_index(["abc"])
+    rows = ix.query_batch(["abc"], zero_to_one.new(), tokenizer, top_k=3, backend="device")
+    assert rows[0][0].key == 0
+    assert rows[0][0].score == pytest.approx(1.0, abs=1e-6)

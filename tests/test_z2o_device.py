@@ -30,7 +30,10 @@ def _assert_matches_oracle(ix, queries, top_k=10):
             err_msg=q,
         )
         # every returned key's score equals that key's exact score
-        full = {r.key: r.score for r in ix.query(q, zero_to_one.new(), tokenizer, [1.0] * ix.num_fields)}
+        full = {
+            r.key: r.score
+            for r in ix.query(q, zero_to_one.new(), tokenizer, [1.0] * ix.num_fields)
+        }
         for r in row:
             assert r.key in full
             np.testing.assert_allclose(r.score, full[r.key], rtol=1e-5, atol=1e-7)

@@ -7,13 +7,16 @@ Workload (north star from BASELINE.json / BASELINE.md):
   * queries: 3 terms each, Zipf-sampled with the top 100 ranks excluded
     (standard stopword removal; without it any engine that scores every
     posting is measuring stopword bandwidth, not search).
-  * batch size 256, top-10, BM25.
+  * serving shape: 8192-query windows submitted through the async API with
+    a depth-2 pipeline (host planning of window i+1 overlaps device work
+    of window i), top-10, BM25.
 
 The reference (quantleaf/probly-search) publishes no numbers and has no
 query benchmark at all (BASELINE.md); the target is the driver's north star
 of 100k QPS/chip, so vs_baseline = QPS / 100_000.
 
-Prints exactly one JSON line on stdout; diagnostics go to stderr.
+Prints exactly one JSON line on stdout (QPS headline plus p50/p99 window
+latency and recall fields); diagnostics go to stderr.
 """
 
 import json
@@ -48,8 +51,9 @@ def make_queries(vocab, cdf, n_queries, terms_per_query, stop_ranks=100, seed=1)
 
 def main():
     n_docs = int(1e6)
-    batch = 256
-    n_queries = 2048
+    window = 8192
+    n_windows = 2
+    n_passes = 4
     top_k = 10
 
     import jax
@@ -58,6 +62,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     log(f"devices: {jax.devices()}")
     from probly_search_tpu import Index, bm25, whitespace_tokenizer
+    from probly_search_tpu.utils.metrics import metrics
 
     t0 = time.time()
     vocab, cdf, texts = make_corpus(n_docs, 50_000, 8)
@@ -69,32 +74,57 @@ def main():
     t2 = time.time()
     log(f"bulk index build: {t2 - t1:.1f}s ({n_docs / (t2 - t1):.0f} docs/s)")
 
-    queries = make_queries(vocab, cdf, n_queries, 3)
+    queries = make_queries(vocab, cdf, window * n_windows, 3)
+    windows = [queries[i : i + window] for i in range(0, len(queries), window)]
     scorer = bm25.new()
     dix = ix.device_index()
     t3 = time.time()
     log(f"device snapshot: {t3 - t2:.1f}s")
 
-    # Warmup pass: compiles every dispatch shape class this workload hits.
-    dix.query_batch(queries, scorer, top_k=top_k)
+    # Warmup pass: compiles every window composition this workload hits.
+    for w in windows:
+        dix.query_batch(w, scorer, top_k=top_k)
     t4 = time.time()
     log(f"warmup (incl. compiles): {t4 - t3:.1f}s")
 
-    # Timed passes.  The whole window is submitted at once: per-dispatch
-    # overhead dominates on tunneled devices, and the engine regroups the
-    # window into few large shape-homogeneous dispatches.
-    n_passes = 5
-    t5 = time.time()
-    rows_out = []
-    for _ in range(n_passes):
-        rows_out = dix.query_batch(queries, scorer, top_k=top_k)
-    elapsed = time.time() - t5
-    assert len(rows_out) == n_queries
-    qps = n_passes * n_queries / elapsed
-    log(f"timed: {n_passes * n_queries} queries in {elapsed:.2f}s -> {qps:.0f} QPS")
+    # Timed: async submission with a depth-2 pipeline — the host plans and
+    # packs window i+1 while the device executes window i; one dispatch
+    # round trip and one packed result fetch per window.
+    metrics.reset()
+    lat_ms = []
+    t5 = time.perf_counter()
+    pending = []
+    n_total = 0
+    for p in range(n_passes):
+        for w in windows:
+            pending.append((time.perf_counter(), dix.query_batch_async(w, scorer, top_k=top_k)))
+            n_total += len(w)
+            if len(pending) >= 2:
+                t_submit, h = pending.pop(0)
+                rows_out = h.get()
+                lat_ms.append(1e3 * (time.perf_counter() - t_submit))
+    for t_submit, h in pending:
+        rows_out = h.get()
+        lat_ms.append(1e3 * (time.perf_counter() - t_submit))
+    elapsed = time.perf_counter() - t5
+    assert len(rows_out) == window
+    qps = n_total / elapsed
+    lat_ms.sort()
+    p50 = lat_ms[len(lat_ms) // 2]
+    p99 = lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]
+    log(
+        f"timed: {n_total} queries in {elapsed:.2f}s -> {qps:.0f} QPS; "
+        f"window latency p50 {p50:.0f}ms p99 {p99:.0f}ms ({len(lat_ms)} windows)"
+    )
+    snap = metrics.snapshot()
+    for name, h in sorted(snap["histograms"].items()):
+        log(
+            f"  phase {name:22s} n={h['count']:3d} mean={h['mean_us'] / 1e3:8.2f}ms "
+            f"total={h['count'] * h['mean_us'] / 1e3:8.1f}ms"
+        )
 
-    # Recall sanity vs the exact f64 oracle on a few queries.
-    sample = queries[:5]
+    # Recall vs the exact f64 oracle on a 256-query sample.
+    sample = queries[:256]
     rows = dix.query_batch(sample, scorer, top_k=top_k)
     hits = total = 0
     for q, row in zip(sample, rows):
@@ -113,6 +143,10 @@ def main():
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / 100_000.0, 4),
+                "p50_window_ms": round(p50, 1),
+                "p99_window_ms": round(p99, 1),
+                "recall_at_10": round(recall, 4),
+                "window_size": window,
             }
         )
     )

@@ -38,6 +38,9 @@ class IndexConfig:
     score_dtype: str = "float32"
     # Default top-k for the device query path.
     default_top_k: int = 10
+    # Posting-chunk width of the device gather (lanes per DMA slice; 128 of
+    # each chunk is Mosaic alignment slack).  0 = engine default.
+    chunk_size: int = 0
     # Fuse all shape classes of a query window into one jitted dispatch with
     # one packed input buffer and one packed result fetch (single device
     # round trip + single transfer pair per window).  Compiles once per

@@ -74,6 +74,10 @@ _MAX_JOB_LEN = (1 << _LEN_BITS) - 1
 # Fused-kernel mode: "auto" (TPU only), "off" (staged XLA path), or
 # "interpret" (run the Pallas kernel interpreted — CPU parity testing).
 _FUSED_MODE = "auto"
+# Widest lane class the fused kernel handles; wider classes take the staged
+# XLA path (unrolled sort networks beyond this compile slowly / overflow
+# the VMEM row budget).
+_FUSED_MAX_LANES = 32768
 
 
 @dataclass
@@ -166,7 +170,7 @@ def _query_step_impl(
     if (
         _FUSED_MODE != "off"
         and (L & (L - 1)) == 0
-        and L <= 16384  # larger unrolled sort networks compile pathologically
+        and L <= _FUSED_MAX_LANES
         and (_FUSED_MODE == "interpret" or jax.default_backend() != "cpu")
     ):
         from ..ops.pallas_query import fused_query_topk
@@ -231,7 +235,7 @@ def _query_step_impl(
     # Fused Pallas merge on TPU (VMEM-resident sort+scan+topk; ~20x the XLA
     # merge); XLA merge elsewhere (CPU tests, and lane widths whose unrolled
     # sort network exceeds Mosaic's scoped VMEM stack).
-    if jax.default_backend() != "cpu" and (L & (L - 1)) == 0 and L <= 16384:
+    if jax.default_backend() != "cpu" and (L & (L - 1)) == 0 and L <= _FUSED_MAX_LANES:
         from ..ops.pallas_merge import merge_scores_topk_pallas
 
         return merge_scores_topk_pallas(key, score, k, qterm_bits)
@@ -364,8 +368,9 @@ class DeviceIndex:
 
     # Postings per chunk (the DMA slice width of the fused kernel; 128 of
     # each chunk is alignment slack).  Smaller chunks waste fewer lanes on
-    # short posting lists and keep merge widths small; the fused kernel's
-    # DMA engine makes per-slice overhead negligible.
+    # short posting lists and keep merge widths small; larger chunks cut
+    # the 128-lane alignment slack on long posting lists.  Overridable via
+    # IndexConfig.chunk_size.
     CHUNK = 512
     LANES_PER_DISPATCH = 1 << 23  # ~8M lanes -> ~128MB gather per dispatch
     NC_BUCKETS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
@@ -376,6 +381,7 @@ class DeviceIndex:
         self.version = index.version
         self._index = index
         self.config = index.config
+        self.CHUNK = int(getattr(index.config, "chunk_size", 0) or type(self).CHUNK)
         F = index.num_fields
         self.num_fields = F
         self.segments = list(index._segments)

@@ -1,9 +1,11 @@
 """Multi-chip doc-sharded query path on a virtual 8-device CPU mesh.
 
-Validates that the sharded SPMD program (psum'd dfs, all-gathered top-k)
-returns exactly what the single-device device path and the f64 host oracle
-return.
+Validates that the sharded SPMD program (host-precomputed global dfs,
+all-gathered top-k) returns exactly what the single-device device path and
+the f64 host oracle return, across shape classes and with host fallback.
 """
+
+import random
 
 import numpy as np
 import pytest
@@ -79,3 +81,49 @@ def test_sharded_empty_and_nomatch():
     rows = sdix.query_batch(["", "zzz", "abc"], bm25.new(), top_k=5)
     assert rows[0] == [] and rows[1] == []
     assert len(rows[2]) == 1 and rows[2][0].key == 0
+
+
+def test_sharded_multiple_shape_classes_one_window():
+    """A batch mixing light and heavy queries must split into several shape
+    classes inside ONE window program, each with correct results."""
+    rng = random.Random(2)
+    ix = Index(1)
+    # 'heavy' matches every doc (8 chunks/shard at 12k docs over 4 shards);
+    # light terms ~30 docs each, randomly spread over shards.
+    n = 12000
+    texts = [f"heavy light{rng.randrange(80)}" for i in range(n)]
+    ix.add_documents_columnar(list(range(n)), [texts])
+    mesh = make_mesh(data=2, docs=4)
+    sdix = ShardedDeviceIndex(ix, mesh)
+    queries = ["light3", "heavy", "light7 heavy", "light1 light2"]
+    planned, fb = sdix.plan_batch(queries, tokenizer, bm25.new())
+    assert fb == []
+    _, _, max_chunks, _ = planned
+    # The queries land in different nc buckets (the prefix query needs 11
+    # one-chunk jobs, the heavy term 8 chunks in one job) — several shape
+    # classes inside one window program.
+    from probly_search_tpu.index.device import _bucket
+
+    buckets = {_bucket(int(c), sdix.NC_BUCKETS, 4) for c in max_chunks}
+    assert len(buckets) >= 2, max_chunks
+    rows = sdix.query_batch(queries, bm25.new(), top_k=10)
+    oracle = [ix.query(q, bm25.new(), tokenizer, [1.0]) for q in queries]
+    _assert_rows_match(rows, oracle, 10)
+
+
+def test_sharded_host_fallback_in_batch():
+    """Cap-exceeding queries inside a sharded batch degrade to the host
+    path; in-cap queries still run on the mesh."""
+    from probly_search_tpu import IndexConfig
+
+    ix = Index(1, config=IndexConfig(max_query_terms=4))
+    ix.add_documents_columnar(
+        list(range(50)), [[f"w{i % 10} shared" for i in range(50)]]
+    )
+    mesh = make_mesh(data=1, docs=8)
+    sdix = ShardedDeviceIndex(ix, mesh)
+    big_q = " ".join(f"w{i % 10}" for i in range(6))
+    rows = sdix.query_batch([big_q, "shared"], bm25.new(), top_k=5)
+    oracle0 = ix.query(big_q, bm25.new(), tokenizer, [1.0], top_k=5)
+    assert [r.key for r in rows[0]] == [r.key for r in oracle0]
+    assert len(rows[1]) == 5

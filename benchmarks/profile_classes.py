@@ -30,7 +30,7 @@ def main():
     # --- raw merge kernel cost vs width ---------------------------------- #
     log("--- merge kernel: rows x L, pallas vs XLA ---")
     rng = np.random.default_rng(0)
-    for rows, L in ((256, 4096), (256, 8192), (128, 16384), (64, 32768)):
+    for rows, L in ((256, 4096), (256, 8192), (128, 16384)):
         key = jnp.asarray(rng.integers(0, 1 << 20, (rows, L), dtype=np.int32))
         sc = jnp.asarray(rng.random((rows, L), dtype=np.float32))
         for name, base_fn in (("pallas", merge_scores_topk_pallas), ("xla", merge_scores_topk)):
@@ -70,7 +70,7 @@ def main():
         )
         log(f"--- CHUNK={chunk}: class histogram "
             f"{dict(zip(*map(list, np.unique(nc_bucket, return_counts=True))))}")
-        for cap in (16384, 32768):
+        for cap in (16384,):
             dev._FUSED_MAX_LANES = cap
             dev._STEP_CACHE.clear()
             for nc in np.unique(nc_bucket):

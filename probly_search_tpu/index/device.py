@@ -75,9 +75,11 @@ _MAX_JOB_LEN = (1 << _LEN_BITS) - 1
 # "interpret" (run the Pallas kernel interpreted — CPU parity testing).
 _FUSED_MODE = "auto"
 # Widest lane class the fused kernel handles; wider classes take the staged
-# XLA path (unrolled sort networks beyond this compile slowly / overflow
-# the VMEM row budget).
-_FUSED_MAX_LANES = 32768
+# XLA path.  Unrolled Mosaic sort networks compile pathologically past this
+# width (measured: L=32768 merge compile exceeds 10 minutes on the remote
+# compiler, vs ~90 s at 16384), and the measured staged XLA merge is
+# runtime-competitive at these widths.
+_FUSED_MAX_LANES = 16384
 
 
 @dataclass
@@ -368,11 +370,12 @@ class DeviceIndex:
 
     # Postings per chunk (the DMA slice width of the fused kernel; 128 of
     # each chunk is alignment slack).  Smaller chunks waste fewer lanes on
-    # short posting lists and keep merge widths small; larger chunks cut
-    # the 128-lane alignment slack on long posting lists.  Overridable via
-    # IndexConfig.chunk_size.
-    CHUNK = 512
-    LANES_PER_DISPATCH = 1 << 23  # ~8M lanes -> ~128MB gather per dispatch
+    # short posting lists; larger chunks cut the alignment-slack ratio and
+    # the chunks-per-query count.  1024 measured ~30% faster per class than
+    # 512 on the 1M-doc Zipf workload (benchmarks/profile_classes.py).
+    # Overridable via IndexConfig.chunk_size.
+    CHUNK = 1024
+    LANES_PER_DISPATCH = 1 << 24  # ~16M lanes -> ~256MB gather per sub-program
     NC_BUCKETS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
     NJ_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
 

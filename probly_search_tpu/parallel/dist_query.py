@@ -48,7 +48,7 @@ from ..utils.tokenizers import whitespace_tokenizer
 class ShardedDeviceIndex:
     """Doc-sharded device snapshot of an Index over a mesh."""
 
-    CHUNK = 512
+    CHUNK = 1024
     NC_BUCKETS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
     NJ_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
 
@@ -57,6 +57,7 @@ class ShardedDeviceIndex:
         self.version = index.version
         self._index = index
         self.config = index.config
+        self.CHUNK = int(getattr(index.config, "chunk_size", 0) or type(self).CHUNK)
         self.mesh = mesh
         n = int(mesh.shape["docs"])
         self.n_shards = n

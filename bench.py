@@ -101,13 +101,14 @@ def main():
             n_total += len(w)
             if len(pending) >= 2:
                 t_submit, h = pending.pop(0)
-                rows_out = h.get()
+                scores_out, slots_out, keys_out = h.get_arrays()
                 lat_ms.append(1e3 * (time.perf_counter() - t_submit))
     for t_submit, h in pending:
-        rows_out = h.get()
+        scores_out, slots_out, keys_out = h.get_arrays()
         lat_ms.append(1e3 * (time.perf_counter() - t_submit))
     elapsed = time.perf_counter() - t5
-    assert len(rows_out) == window
+    assert scores_out.shape == (window, top_k) and keys_out.shape == (window, top_k)
+    assert (slots_out[0] >= 0).any()
     qps = n_total / elapsed
     lat_ms.sort()
     p50 = lat_ms[len(lat_ms) // 2]

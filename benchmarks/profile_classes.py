@@ -57,7 +57,7 @@ def main():
     n_docs = int(1e6)
     vocab, cdf, texts = make_corpus(n_docs, 50_000, 8)
     queries = make_queries(vocab, cdf, 16384, 3)
-    for chunk in (512, 1024):
+    for chunk in (1024,):
         from probly_search_tpu import IndexConfig
 
         ix = Index(1, config=IndexConfig(chunk_size=chunk))

@@ -48,7 +48,7 @@ over the term's full posting set across segments.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Sequence, Set
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -448,38 +448,45 @@ class DeviceIndex:
         )
         self.n_docs = float(len(index._docs))
         self.slot_to_key = list(index._slot_to_key)
+        self._key_arr: Optional[np.ndarray] = None
+        # Per-(scorer key) pooled term-plan cache (see _term_plans).
+        self._plan_pools: Dict[Any, Dict[str, Any]] = {}
 
 
     # ------------------------------------------------------------------ #
     # planning (host, vectorized)                                         #
     # ------------------------------------------------------------------ #
 
-    def plan_batch(self, queries: Sequence[str], tokenizer, scorer):
-        """Plan a batch into a flat job table (all-numpy, no per-term loop).
+    def _term_plans(self, uniq_terms: np.ndarray, scorer) -> None:
+        """Compute + cache the per-term job plan for every term in
+        ``uniq_terms`` not already cached.
 
-        Returns ``(PlannedJobs | None, fallback)`` where ``fallback`` lists
-        the indices of queries that exceed a device-path cap (too many
-        terms, expansions, or df groups).  Those queries degrade to the
-        exact host path per query instead of failing the whole batch — the
-        host path has no caps, matching the reference.
+        A term's plan is snapshot-static AND query-independent: the prefix
+        expansion ranges per segment, the per-expansion df (grouped across
+        segments; df == 0 expansions dropped, query.rs:48), the expansion
+        boost (bm25.rs:44-55), and the premultiplied per-job scale (the
+        vectorized before_each).  Everything lands in pooled flat arrays
+        indexed by a per-term CSR, so batch assembly is pure gathers.
         """
+        pool = self._plan_pools.get(_scorer_cache_key(scorer))
+        if pool is None:
+            pool = {
+                "ids": {},  # term -> dense id
+                "off": np.zeros(1, dtype=np.int64),
+                "start": np.zeros(0, dtype=np.int64),
+                "len": np.zeros(0, dtype=np.int64),
+                "scale": np.zeros(0, dtype=np.float32),
+                "chunks": np.zeros(0, dtype=np.int64),  # per term
+                "over_cap": np.zeros(0, dtype=bool),  # per term
+            }
+            self._plan_pools[_scorer_cache_key(scorer)] = pool
+        ids = pool["ids"]
+        miss = [t for t in uniq_terms if t not in ids]
+        if not miss:
+            return
         cfg = self.config
-        B = len(queries)
-        fallback: List[int] = []
-
-        tok_lists = [[t for t in tokenizer(q) if t] for q in queries]
-        max_terms = min(cfg.max_query_terms, 1 << self._qterm_bits)
-        for qi, toks in enumerate(tok_lists):
-            if len(toks) > max_terms:
-                fallback.append(qi)
-                tok_lists[qi] = []
-        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
-        total_terms = int(counts.sum())
-        if total_terms == 0 or self.num_postings == 0:
-            return None, fallback
-        flat_query = np.repeat(np.arange(B, dtype=np.int64), counts)
-        flat_qterm = _segment_arange(counts).astype(np.int64)
-        flat_terms = np.asarray([t for toks in tok_lists for t in toks], dtype=np.str_)
+        flat_terms = np.asarray(miss, dtype=np.str_)
+        M = len(flat_terms)
         flat_upper = np.char.add(flat_terms, _MAX_CHAR)
         flat_blen = np.char.str_len(np.char.encode(flat_terms, "utf-8")).astype(np.int64)
 
@@ -497,7 +504,7 @@ class DeviceIndex:
             if nexp.max(initial=0) == 0:
                 continue
             tid = np.repeat(lo, nexp) + _segment_arange(nexp)
-            jidx = np.repeat(np.arange(total_terms, dtype=np.int64), nexp)
+            jidx = np.repeat(np.arange(M, dtype=np.int64), nexp)
             offs = self.seg_offsets[si]
             local = offs[tid].astype(np.int64)
             length = (offs[tid + 1] - offs[tid]).astype(np.int64)
@@ -513,95 +520,159 @@ class DeviceIndex:
                     ldf,
                 )
             )
-        if not job_parts:
-            return None, fallback
-        jidx = np.concatenate([p[0] for p in job_parts])
-        jstart = np.concatenate([p[1] for p in job_parts])
-        jlen = np.concatenate([p[2] for p in job_parts])
-        jexp = np.concatenate([p[3] for p in job_parts])
-        jblen = np.concatenate([p[4] for p in job_parts])
-        jldf = np.concatenate([p[5] for p in job_parts])
-
-        keep = jlen > 0
-        jidx, jstart, jlen, jexp, jblen, jldf = (
-            jidx[keep], jstart[keep], jlen[keep], jexp[keep], jblen[keep], jldf[keep]
-        )
-        if len(jidx) == 0:
-            return None, fallback
-
-        # df groups: jobs of the same (query term, expanded term) across
-        # segments share one df (sort by term idx + expansion string; run
-        # boundaries give group ids; per-group df = sum of segment dfs).
-        order = np.lexsort((jexp, jidx))
-        jidx, jstart, jlen, jexp, jblen, jldf = (
-            jidx[order], jstart[order], jlen[order], jexp[order], jblen[order],
-            jldf[order],
-        )
-        new_group = np.ones(len(jidx), dtype=bool)
-        new_group[1:] = (jidx[1:] != jidx[:-1]) | (jexp[1:] != jexp[:-1])
-        group_global = np.cumsum(new_group) - 1
-        group_df = np.bincount(group_global, weights=jldf.astype(np.float64))
-        jdf = group_df[group_global]
-
-        # Expansions whose live df is 0 are never scored (query.rs:48):
-        # drop their jobs entirely — pure lane savings.
-        keep_df = jdf > 0
-        jidx, jstart, jlen, jexp, jblen, jdf, new_group = (
-            jidx[keep_df], jstart[keep_df], jlen[keep_df], jexp[keep_df],
-            jblen[keep_df], jdf[keep_df], new_group[keep_df],
-        )
-        if len(jidx) == 0:
-            return None, fallback
-
-        per_term_groups = np.bincount(jidx[new_group], minlength=total_terms)
-
-        # Expansion boost (bm25.rs:44-55; byte lengths), f64 until the
-        # single rounding into the packed f32 scale word.
-        exact = jexp == flat_terms[jidx]
-        boost = np.where(exact, 1.0, np.log1p(1.0 / (1.0 + jblen - flat_blen[jidx])))
-        jquery = flat_query[jidx]
-
-        # Cap-exceeding queries degrade to the host path (graceful — the
-        # packed job words can't express them, but the exact path can).
-        bad: Set[int] = set()
-        over_exp = np.flatnonzero(per_term_groups > cfg.max_expansions)
-        bad.update(int(q) for q in flat_query[over_exp])
-        if bad:
-            fallback.extend(sorted(bad))
-            keep2 = ~np.isin(jquery, np.fromiter(bad, dtype=np.int64))
-            jidx, jstart, jlen, jquery, jdf, boost = (
-                jidx[keep2], jstart[keep2], jlen[keep2], jquery[keep2],
-                jdf[keep2], boost[keep2],
+        if job_parts:
+            jidx = np.concatenate([p[0] for p in job_parts])
+            jstart = np.concatenate([p[1] for p in job_parts])
+            jlen = np.concatenate([p[2] for p in job_parts])
+            jexp = np.concatenate([p[3] for p in job_parts])
+            jblen = np.concatenate([p[4] for p in job_parts])
+            jldf = np.concatenate([p[5] for p in job_parts])
+            keep = jlen > 0
+            jidx, jstart, jlen, jexp, jblen, jldf = (
+                jidx[keep], jstart[keep], jlen[keep], jexp[keep], jblen[keep],
+                jldf[keep],
             )
-            if len(jidx) == 0:
-                return None, fallback
-
-        # The vectorized before_each (calculator.rs:43-50): one f32 scale
-        # per job, e.g. BM25's df-clamped idf * expansion boost.
-        scale = scorer.device_term_scale(jdf, self.n_docs, boost)
-
-        # Split jobs longer than the packed-length capacity (the split
-        # parts share the job's df/scale, so scores are unchanged).
-        if jlen.max(initial=0) > _MAX_JOB_LEN:
-            nsplit = (jlen + _MAX_JOB_LEN - 1) // _MAX_JOB_LEN
-            si_ = _segment_arange(nsplit)
-            sj = np.repeat(np.arange(len(jidx), dtype=np.int64), nsplit)
-            jstart = jstart[sj] + si_ * _MAX_JOB_LEN
-            jlen = np.minimum(jlen[sj] - si_ * _MAX_JOB_LEN, _MAX_JOB_LEN)
-            jquery = jquery[sj]
-            jqterm_src = flat_qterm[jidx][sj]
-            scale = scale[sj]
         else:
-            jqterm_src = flat_qterm[jidx]
+            jidx = np.zeros(0, dtype=np.int64)
 
-        words = np.empty((len(jstart), 3), dtype=np.int32)
-        words[:, 0] = jstart
-        words[:, 1] = jlen | (jqterm_src << _LEN_BITS)
-        words[:, 2] = scale.view(np.int32)
+        if len(jidx):
+            # df groups: jobs of the same (term, expanded term) across
+            # segments share one df (per-group df = sum of segment dfs).
+            order = np.lexsort((jexp, jidx))
+            jidx, jstart, jlen, jexp, jblen, jldf = (
+                jidx[order], jstart[order], jlen[order], jexp[order],
+                jblen[order], jldf[order],
+            )
+            new_group = np.ones(len(jidx), dtype=bool)
+            new_group[1:] = (jidx[1:] != jidx[:-1]) | (jexp[1:] != jexp[:-1])
+            group_global = np.cumsum(new_group) - 1
+            group_df = np.bincount(group_global, weights=jldf.astype(np.float64))
+            jdf = group_df[group_global]
+
+            # df == 0 expansions are never scored: drop their jobs.
+            keep_df = jdf > 0
+            jidx, jstart, jlen, jexp, jblen, jdf, new_group = (
+                jidx[keep_df], jstart[keep_df], jlen[keep_df], jexp[keep_df],
+                jblen[keep_df], jdf[keep_df], new_group[keep_df],
+            )
+
+        if len(jidx):
+            per_term_groups = np.bincount(jidx[new_group], minlength=M)
+            over_cap = per_term_groups > cfg.max_expansions
+
+            # Expansion boost (bm25.rs:44-55; byte lengths), f64 until the
+            # single rounding into the packed f32 scale word.
+            exact = jexp == flat_terms[jidx]
+            boost = np.where(
+                exact, 1.0, np.log1p(1.0 / (1.0 + jblen - flat_blen[jidx]))
+            )
+            scale = scorer.device_term_scale(jdf, self.n_docs, boost)
+
+            # Split jobs longer than the packed-length capacity (the split
+            # parts share the job's scale, so scores are unchanged).
+            if jlen.max(initial=0) > _MAX_JOB_LEN:
+                nsplit = (jlen + _MAX_JOB_LEN - 1) // _MAX_JOB_LEN
+                si_ = _segment_arange(nsplit)
+                sj = np.repeat(np.arange(len(jidx), dtype=np.int64), nsplit)
+                jstart = jstart[sj] + si_ * _MAX_JOB_LEN
+                jlen = np.minimum(jlen[sj] - si_ * _MAX_JOB_LEN, _MAX_JOB_LEN)
+                jidx = jidx[sj]
+                scale = scale[sj]
+            # Over-cap terms contribute no pooled jobs (their queries fall
+            # back to the host path).
+            if over_cap.any():
+                keep3 = ~over_cap[jidx]
+                jidx, jstart, jlen, scale = (
+                    jidx[keep3], jstart[keep3], jlen[keep3], scale[keep3]
+                )
+            order2 = np.argsort(jidx, kind="stable")
+            jidx, jstart, jlen, scale = (
+                jidx[order2], jstart[order2], jlen[order2], scale[order2]
+            )
+            nj_per_term = np.bincount(jidx, minlength=M)
+        else:
+            over_cap = np.zeros(M, dtype=bool)
+            jstart = jlen = np.zeros(0, dtype=np.int64)
+            scale = np.zeros(0, dtype=np.float32)
+            nj_per_term = np.zeros(M, dtype=np.int64)
 
         CP = self.CHUNK - 128  # payload postings per chunk (aligned DMA)
         job_chunks = (jlen + CP - 1) // CP
-        nchunks = np.bincount(jquery, weights=job_chunks.astype(np.float64), minlength=B)
+        term_chunks = np.bincount(
+            jidx, weights=job_chunks.astype(np.float64), minlength=M
+        ).astype(np.int64) if len(jidx) else np.zeros(M, dtype=np.int64)
+
+        base = len(pool["off"]) - 1
+        for i, t in enumerate(miss):
+            ids[str(t)] = base + i
+        pool["off"] = np.concatenate(
+            [pool["off"], pool["off"][-1] + np.cumsum(nj_per_term)]
+        )
+        pool["start"] = np.concatenate([pool["start"], jstart])
+        pool["len"] = np.concatenate([pool["len"], jlen])
+        pool["scale"] = np.concatenate([pool["scale"], scale])
+        pool["chunks"] = np.concatenate([pool["chunks"], term_chunks])
+        pool["over_cap"] = np.concatenate([pool["over_cap"], over_cap])
+
+    def plan_batch(self, queries: Sequence[str], tokenizer, scorer):
+        """Plan a batch into a flat job table.
+
+        Per-term plans (expansion ranges, df, scale) are snapshot-static
+        and cached (`_term_plans`); batch planning is tokenize + dict
+        lookups + CSR gathers.  Returns ``(PlannedJobs | None, fallback)``
+        where ``fallback`` lists queries exceeding a device cap (too many
+        terms / expansions); those degrade to the exact host path per
+        query — the host path has no caps, matching the reference.
+        """
+        B = len(queries)
+        fallback: List[int] = []
+
+        tok_lists = [[t for t in tokenizer(q) if t] for q in queries]
+        max_terms = min(self.config.max_query_terms, 1 << self._qterm_bits)
+        for qi, toks in enumerate(tok_lists):
+            if len(toks) > max_terms:
+                fallback.append(qi)
+                tok_lists[qi] = []
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        total_terms = int(counts.sum())
+        if total_terms == 0 or self.num_postings == 0:
+            return None, fallback
+        flat_query = np.repeat(np.arange(B, dtype=np.int64), counts)
+        flat_qterm = _segment_arange(counts).astype(np.int64)
+        flat_terms = [t for toks in tok_lists for t in toks]
+
+        uniq = np.unique(np.asarray(flat_terms, dtype=np.str_))
+        self._term_plans(uniq, scorer)
+        pool = self._plan_pools[_scorer_cache_key(scorer)]
+        ids = pool["ids"]
+        tids = np.fromiter((ids[t] for t in flat_terms), dtype=np.int64, count=total_terms)
+
+        # Queries containing an over-cap term degrade to the host path.
+        over = pool["over_cap"][tids]
+        if over.any():
+            bad = np.unique(flat_query[over])
+            fallback.extend(int(q) for q in bad)
+            keep = ~np.isin(flat_query, bad)
+            flat_query, flat_qterm, tids = flat_query[keep], flat_qterm[keep], tids[keep]
+            if len(tids) == 0:
+                return None, fallback
+
+        # Assemble the flat job table: CSR gather from the pooled plans.
+        off = pool["off"]
+        nj = off[tids + 1] - off[tids]
+        rows = np.repeat(off[tids], nj) + _segment_arange(nj)
+        if len(rows) == 0:
+            return None, fallback
+        jquery = np.repeat(flat_query, nj)
+        jqterm = np.repeat(flat_qterm, nj)
+        words = np.empty((len(rows), 3), dtype=np.int32)
+        words[:, 0] = pool["start"][rows]
+        words[:, 1] = pool["len"][rows] | (jqterm << _LEN_BITS)
+        words[:, 2] = pool["scale"][rows].view(np.int32)
+
+        nchunks = np.bincount(
+            flat_query, weights=pool["chunks"][tids].astype(np.float64), minlength=B
+        )
         njobs = np.bincount(jquery, minlength=B)
         return PlannedJobs(
             jquery=jquery,
@@ -758,14 +829,23 @@ class DeviceIndex:
 
     def to_results(self, top_scores: np.ndarray, top_docs: np.ndarray):
         out: List[List[QueryResult]] = []
-        for scores_row, docs_row in zip(top_scores, top_docs):
+        for scores_row, docs_row in zip(top_scores.tolist(), top_docs.tolist()):
             row = [
-                QueryResult(key=self.slot_to_key[int(d)], score=float(s))
+                QueryResult(key=self.slot_to_key[d], score=s)
                 for s, d in zip(scores_row, docs_row)
-                if d >= 0 and np.isfinite(s)
+                if d >= 0 and s != float("-inf")
             ]
             out.append(row)
         return out
+
+    @property
+    def key_arr(self) -> np.ndarray:
+        """Doc slot -> user key, as an object ndarray (vectorized lookups)."""
+        if self._key_arr is None or len(self._key_arr) != len(self.slot_to_key):
+            arr = np.empty(len(self.slot_to_key), dtype=object)
+            arr[:] = self.slot_to_key
+            self._key_arr = arr
+        return self._key_arr
 
 
 class PendingBatch:
@@ -788,6 +868,48 @@ class PendingBatch:
         with metrics.timer("query/drain"):
             self._drain(results)
         return results
+
+    def get_arrays(self):
+        """Raw columnar results — the serving-engine surface.
+
+        Returns ``(scores f32[n, k], slots int32[n, k], keys object[n, k])``
+        in query order; missing entries carry score ``-inf`` / slot ``-1`` /
+        key ``None``.  Skips per-result Python object construction (which
+        costs more than the entire device round trip on large windows); use
+        :meth:`get` for ``QueryResult`` rows.
+        """
+        from ..utils.metrics import metrics
+
+        with metrics.timer("query/drain"):
+            if self._packed is None:
+                k = self._parts[0][1].shape[-1] if self._parts else 0
+                scores = np.full((self._n, k), -np.inf, np.float32)
+                slots = np.full((self._n, k), -1, np.int32)
+                for idxs, top_scores, top_docs in self._parts:
+                    scores[idxs] = np.asarray(top_scores)[: len(idxs)]
+                    slots[idxs] = np.asarray(top_docs)[: len(idxs)]
+            else:
+                packed = np.asarray(self._packed)  # single D2H fetch
+                k = packed.shape[-1]
+                p_scores = packed[:, 0, :].view(np.float32)
+                p_slots = packed[:, 1, :]
+                scores = np.full((self._n, k), -np.inf, np.float32)
+                slots = np.full((self._n, k), -1, np.int32)
+                for idxs, row in self._layout:
+                    scores[idxs] = p_scores[row : row + len(idxs)]
+                    slots[idxs] = p_slots[row : row + len(idxs)]
+            valid = slots >= 0
+            keys = np.where(
+                valid, self._dix.key_arr[np.where(valid, slots, 0)], None
+            )
+            if self._host_rows:
+                for qi, row in self._host_rows.items():
+                    m = min(len(row), scores.shape[1])
+                    scores[qi, :m] = [r.score for r in row[:m]]
+                    slots[qi, :] = -1
+                    keys[qi, :] = None
+                    keys[qi, :m] = [r.key for r in row[:m]]
+        return scores, slots, keys
 
     def _drain(self, results) -> None:
         if self._host_rows:

@@ -200,7 +200,8 @@ def _merge_kernel(k: int, qterm_bits: int, key_ref, score_ref, out_s_ref, out_d_
 def pick_rows_per_block(B: int, L: int, bytes_per_lane: int = 60, budget: int = 12 << 20) -> int:
     """Rows per kernel block, bounded by a VMEM budget.  The in-place merge
     pipeline keeps three scratch arrays plus one stage's temporaries live
-    (~60B/lane)."""
+    (~60B/lane).  Measured: larger blocks (32 rows) run WORSE on this
+    hardware (in-flight DMA pressure), so 8 stays the sweet spot."""
     rows = 8
     while rows > 1 and rows * L * bytes_per_lane > budget:
         rows //= 2

@@ -33,6 +33,11 @@ from .pallas_merge import merge_body
 
 _NEG_INF = float("-inf")
 
+# Experiment knob (benchmarks/profile_dma.py): 0 = normal per-(row, chunk)
+# DMAs; 1 = one whole-width DMA per row from offset 0 (WRONG results, same
+# compute) — isolates DMA-issue cost.
+_DMA_TEST_MODE = 0
+
 
 def _query_kernel(
     scorer,
@@ -62,18 +67,28 @@ def _query_kernel(
     L = NC * C
 
     # ---- gather: one 2-D DMA per (row, chunk) -------------------------- #
-    for r in range(ROWS):
-        for c in range(NC):
-            s = pl.multiple_of(c_start_ref[0, r, c], 128)
+    if _DMA_TEST_MODE == 1:  # experiment: 1 small DMA per row, garbage data
+        for r in range(ROWS):
             pltpu.make_async_copy(
-                rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
+                rec_ref.at[:, pl.ds(0, C)], g_ref.at[r, 0], sem.at[r, 0]
             ).start()
-    for r in range(ROWS):
-        for c in range(NC):
-            s = pl.multiple_of(c_start_ref[0, r, c], 128)
+        for r in range(ROWS):
             pltpu.make_async_copy(
-                rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
+                rec_ref.at[:, pl.ds(0, C)], g_ref.at[r, 0], sem.at[r, 0]
             ).wait()
+    else:
+        for r in range(ROWS):
+            for c in range(NC):
+                s = pl.multiple_of(c_start_ref[0, r, c], 128)
+                pltpu.make_async_copy(
+                    rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
+                ).start()
+        for r in range(ROWS):
+            for c in range(NC):
+                s = pl.multiple_of(c_start_ref[0, r, c], 128)
+                pltpu.make_async_copy(
+                    rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
+                ).wait()
 
     g = g_ref[:, :, :, :]  # [ROWS, NC, R, C]
     doc = g[:, :, 0, :]  # [ROWS, NC, C]

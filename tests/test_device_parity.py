@@ -124,3 +124,29 @@ def test_empty_and_no_match_batch():
     rows = x.query_batch(["", "   ", "zzz", "abc"], bm25.new(), top_k=3, backend="device")
     assert rows[0] == [] and rows[1] == [] and rows[2] == []
     assert len(rows[3]) == 1
+
+
+def test_get_arrays_matches_get():
+    """The raw columnar serving API returns exactly what the object API
+    returns (including host-fallback rows and empty queries)."""
+    from probly_search_tpu import IndexConfig
+
+    ix = Index(1, config=IndexConfig(max_query_terms=4))
+    ix.add_documents_columnar(
+        list(range(200)), [[f"g{i % 17} h{i % 5} всем common" for i in range(200)]]
+    )
+    dix = ix.device_index()
+    qs = ["g3 h2", "common", "", "zzz", " ".join(f"g{i}" for i in range(6))]
+    rows = dix.query_batch(qs, bm25.new(), top_k=7)
+    scores, slots, keys = dix.query_batch_async(qs, bm25.new(), top_k=7).get_arrays()
+    assert scores.shape == (len(qs), 7)
+    for qi, row in enumerate(rows):
+        got = [
+            (keys[qi, j], float(scores[qi, j]))
+            for j in range(7)
+            if keys[qi, j] is not None
+        ]
+        want = [(r.key, r.score) for r in row]
+        assert len(got) == len(want), (qi, got, want)
+        for (gk, gs), (wk, ws) in zip(got, want):
+            assert gk == wk and abs(gs - ws) < 1e-6 * max(1.0, abs(ws)), qi

@@ -395,8 +395,20 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
     nc_bucket = np.array(
         [_bucket(int(c), dix.NC_BUCKETS, 4) for c in nchunks], dtype=np.int64
     )
+    # Entry-lane width cap: the z2o program's sort + lockstep scans compile
+    # pathologically past ~32k lanes, and the vectorized host lockstep
+    # (models/zero_to_one.py) is already fast — route huge queries there.
+    max_fl = 32768
+    huge = nc_bucket * C * max(dix.num_fields, 1) > max_fl
+    if huge.any():
+        metrics.inc("z2o_host_vectorized_queries", int(huge.sum()))
+        for qi in np.flatnonzero(huge & (njobs > 0)):
+            results[int(qi)] = _z2o.ZeroToOne.vectorized_query(
+                dix._index, queries[int(qi)], tokenizer, top_k=k
+            )
+        nc_bucket = np.where(huge, -1, nc_bucket)
     step = _get_z2o_step()
-    for nc in np.unique(nc_bucket):
+    for nc in np.unique(nc_bucket[nc_bucket > 0]):
         nc = int(nc)
         members = np.flatnonzero((nc_bucket == nc) & (njobs > 0))
         if len(members) == 0:

@@ -7,9 +7,9 @@ Workload (north star from BASELINE.json / BASELINE.md):
   * queries: 3 terms each, Zipf-sampled with the top 100 ranks excluded
     (standard stopword removal; without it any engine that scores every
     posting is measuring stopword bandwidth, not search).
-  * serving shape: 8192-query windows submitted through the async API with
-    a depth-2 pipeline (host planning of window i+1 overlaps device work
-    of window i), top-10, BM25.
+  * serving shape: 16384-query windows submitted through the async API
+    with a depth-3 pipeline (host planning and result fetches overlap
+    device work), top-10, BM25.
 
 The reference (quantleaf/probly-search) publishes no numbers and has no
 query benchmark at all (BASELINE.md); the target is the driver's north star
@@ -51,10 +51,11 @@ def make_queries(vocab, cdf, n_queries, terms_per_query, stop_ranks=100, seed=1)
 
 def main():
     n_docs = int(1e6)
-    window = 8192
+    window = 16384
     n_windows = 2
     n_passes = 4
     top_k = 10
+    pipeline_depth = 3
 
     import jax
 
@@ -87,30 +88,39 @@ def main():
     t4 = time.time()
     log(f"warmup (incl. compiles): {t4 - t3:.1f}s")
 
-    # Timed: async submission with a depth-2 pipeline — the host plans and
-    # packs window i+1 while the device executes window i; one dispatch
-    # round trip and one packed result fetch per window.
+    # Timed: async submission with a depth-3 pipeline and a background
+    # drain thread — the 1.3MB-per-window result fetch releases the GIL,
+    # so it overlaps the next window's host planning AND device execution.
+    from concurrent.futures import ThreadPoolExecutor
+
     metrics.reset()
     lat_ms = []
-    t5 = time.perf_counter()
-    pending = []
-    n_total = 0
-    for p in range(n_passes):
-        for w in windows:
-            pending.append((time.perf_counter(), dix.query_batch_async(w, scorer, top_k=top_k)))
-            n_total += len(w)
-            if len(pending) >= 2:
-                t_submit, h = pending.pop(0)
-                scores_out, slots_out, keys_out = h.get_arrays()
-                lat_ms.append(1e3 * (time.perf_counter() - t_submit))
-    for t_submit, h in pending:
-        scores_out, slots_out, keys_out = h.get_arrays()
+    results_box = []
+
+    def drain(t_submit, h):
+        out = h.get_arrays()
         lat_ms.append(1e3 * (time.perf_counter() - t_submit))
+        results_box.append(out)
+
+    t5 = time.perf_counter()
+    n_total = 0
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futs = []
+        for p in range(n_passes):
+            for w in windows:
+                h = dix.query_batch_async(w, scorer, top_k=top_k)
+                futs.append(pool.submit(drain, time.perf_counter(), h))
+                n_total += len(w)
+                if len(futs) >= pipeline_depth:
+                    futs.pop(0).result()
+        for f in futs:
+            f.result()
     elapsed = time.perf_counter() - t5
+    scores_out, slots_out, keys_out = results_box[-1]
     assert scores_out.shape == (window, top_k) and keys_out.shape == (window, top_k)
     assert (slots_out[0] >= 0).any()
+    lat_ms = sorted(lat_ms)
     qps = n_total / elapsed
-    lat_ms.sort()
     p50 = lat_ms[len(lat_ms) // 2]
     p99 = lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]
     log(

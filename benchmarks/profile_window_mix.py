@@ -65,7 +65,7 @@ def main():
     log(f"light-only W=8192 depth=2: {qps:7.0f} QPS ({n} queries, {dt:.2f}s)")
 
     # Depth / window matrix on the full mix.
-    for W, depth in ((8192, 3), (16384, 2), (16384, 3), (4096, 3)):
+    for W, depth in ((16384, 4), (32768, 2), (32768, 3)):
         qps, dt, n = run_pipe(queries, W, depth)
         log(f"full mix   W={W} depth={depth}: {qps:7.0f} QPS ({n} queries, {dt:.2f}s)")
 

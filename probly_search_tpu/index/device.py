@@ -641,11 +641,19 @@ class DeviceIndex:
         flat_qterm = _segment_arange(counts).astype(np.int64)
         flat_terms = [t for toks in tok_lists for t in toks]
 
-        uniq = np.unique(np.asarray(flat_terms, dtype=np.str_))
-        self._term_plans(uniq, scorer)
-        pool = self._plan_pools[_scorer_cache_key(scorer)]
-        ids = pool["ids"]
-        tids = np.fromiter((ids[t] for t in flat_terms), dtype=np.int64, count=total_terms)
+        pool = self._plan_pools.get(_scorer_cache_key(scorer))
+        ids = pool["ids"] if pool is not None else {}
+        tids = np.fromiter(
+            (ids.get(t, -1) for t in flat_terms), dtype=np.int64, count=total_terms
+        )
+        if (tids < 0).any():  # cache misses: compute those term plans once
+            miss = sorted({t for t, i in zip(flat_terms, tids) if i < 0})
+            self._term_plans(np.asarray(miss, dtype=np.str_), scorer)
+            pool = self._plan_pools[_scorer_cache_key(scorer)]
+            ids = pool["ids"]
+            tids = np.fromiter(
+                (ids[t] for t in flat_terms), dtype=np.int64, count=total_terms
+            )
 
         # Queries containing an over-cap term degrade to the host path.
         over = pool["over_cap"][tids]
@@ -691,15 +699,20 @@ class DeviceIndex:
         nc_bucket = np.array(
             [_bucket(int(c), self.NC_BUCKETS, 4) for c in plan.nchunks], dtype=np.int64
         )
+        # One pass: per-query class id + position within class (queries are
+        # index-sorted within each class), then every job places itself by
+        # direct lookup — no per-class isin/searchsorted.
+        alive = plan.njobs > 0
+        class_of_q = np.where(alive, nc_bucket, -1)
+        order = np.argsort(class_of_q, kind="stable")
+        sorted_cls = class_of_q[order]
+        jpos = np.zeros(n_queries, dtype=np.int64)
+        np.subtract(np.cumsum(plan.njobs), plan.njobs, out=jpos)  # job row start per query
+
         out = []
-        for nc in np.unique(nc_bucket):
+        for nc in np.unique(class_of_q[alive]) if alive.any() else []:
             nc = int(nc)
-            members = np.flatnonzero(nc_bucket == nc)
-            # Queries with zero jobs plan out entirely; skip them (their
-            # results are empty).
-            members = members[plan.njobs[members] > 0]
-            if len(members) == 0:
-                continue
+            members = order[sorted_cls == nc]
             nj = _bucket(int(plan.njobs[members].max()), self.NJ_BUCKETS, 4)
             b_cap = max(8, int(self.LANES_PER_DISPATCH // (nc * C)))
             for s in range(0, len(members), b_cap):
@@ -707,12 +720,11 @@ class DeviceIndex:
                 B = len(idxs)
                 B_pad = max(8, 1 << (B - 1).bit_length())
                 jobs_flat = np.zeros((B_pad, nj, 3), dtype=np.int32)
-                sel = np.isin(plan.jquery, idxs)
-                jq = plan.jquery[sel]
-                jw = plan.words[sel]
-                pos = _segment_arange(np.bincount(jq, minlength=n_queries)[idxs])
-                row = np.searchsorted(idxs, jq)
-                jobs_flat[row, pos] = jw
+                qnj = plan.njobs[idxs]
+                rows = np.repeat(np.arange(B, dtype=np.int64), qnj)
+                pos = _segment_arange(qnj)
+                src = np.repeat(jpos[idxs], qnj) + pos
+                jobs_flat[rows, pos] = plan.words[src]
                 out.append((idxs, jobs_flat.reshape(B_pad, nj * 3), nc, nj))
         return out
 
@@ -840,11 +852,17 @@ class DeviceIndex:
 
     @property
     def key_arr(self) -> np.ndarray:
-        """Doc slot -> user key, as an object ndarray (vectorized lookups)."""
+        """Doc slot -> user key for vectorized lookups: an int64 ndarray
+        when every key is a plain int (the common serving case — gathers at
+        numpy speed with no per-key Python objects), otherwise an object
+        ndarray."""
         if self._key_arr is None or len(self._key_arr) != len(self.slot_to_key):
-            arr = np.empty(len(self.slot_to_key), dtype=object)
-            arr[:] = self.slot_to_key
-            self._key_arr = arr
+            if self.slot_to_key and all(type(k) is int for k in self.slot_to_key):
+                self._key_arr = np.asarray(self.slot_to_key, dtype=np.int64)
+            else:
+                arr = np.empty(len(self.slot_to_key), dtype=object)
+                arr[:] = self.slot_to_key
+                self._key_arr = arr
         return self._key_arr
 
 
@@ -869,14 +887,19 @@ class PendingBatch:
             self._drain(results)
         return results
 
-    def get_arrays(self):
+    def get_arrays(self, want_keys: bool = True):
         """Raw columnar results — the serving-engine surface.
 
-        Returns ``(scores f32[n, k], slots int32[n, k], keys object[n, k])``
-        in query order; missing entries carry score ``-inf`` / slot ``-1`` /
-        key ``None``.  Skips per-result Python object construction (which
-        costs more than the entire device round trip on large windows); use
-        :meth:`get` for ``QueryResult`` rows.
+        Returns ``(scores f32[n, k], slots int32[n, k], keys[n, k])`` in
+        query order.  VALIDITY MASK: ``np.isfinite(scores)`` — invalid
+        entries carry score ``-inf``; their slot/key content is undefined.
+        ``keys`` is an int64 array when every document key is a plain int
+        (gathered at numpy speed), otherwise an object array with ``None``
+        at invalid entries.  This path skips per-result Python object
+        construction (which costs more than the entire device round trip on
+        large windows); use :meth:`get` for ``QueryResult`` rows.
+        ``want_keys=False`` skips the slot->key gather too (keys is
+        ``None``) for callers that map slots themselves.
         """
         from ..utils.metrics import metrics
 
@@ -898,17 +921,23 @@ class PendingBatch:
                 for idxs, row in self._layout:
                     scores[idxs] = p_scores[row : row + len(idxs)]
                     slots[idxs] = p_slots[row : row + len(idxs)]
-            valid = slots >= 0
-            keys = np.where(
-                valid, self._dix.key_arr[np.where(valid, slots, 0)], None
-            )
+            keys = None
+            if want_keys:
+                karr = self._dix.key_arr
+                if karr.dtype == object:
+                    valid = slots >= 0
+                    keys = np.where(valid, karr[np.where(valid, slots, 0)], None)
+                else:  # int64 fast path: invalid entries masked by -inf score
+                    keys = karr[np.clip(slots, 0, None)]
             if self._host_rows:
                 for qi, row in self._host_rows.items():
                     m = min(len(row), scores.shape[1])
                     scores[qi, :m] = [r.score for r in row[:m]]
                     slots[qi, :] = -1
-                    keys[qi, :] = None
-                    keys[qi, :m] = [r.key for r in row[:m]]
+                    if keys is not None:
+                        if keys.dtype == object:
+                            keys[qi, :] = None
+                        keys[qi, :m] = [r.key for r in row[:m]]
         return scores, slots, keys
 
     def _drain(self, results) -> None:

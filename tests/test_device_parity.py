@@ -140,13 +140,28 @@ def test_get_arrays_matches_get():
     rows = dix.query_batch(qs, bm25.new(), top_k=7)
     scores, slots, keys = dix.query_batch_async(qs, bm25.new(), top_k=7).get_arrays()
     assert scores.shape == (len(qs), 7)
+    assert keys.dtype == np.int64  # homogeneous int keys -> fast path
     for qi, row in enumerate(rows):
         got = [
-            (keys[qi, j], float(scores[qi, j]))
+            (int(keys[qi, j]), float(scores[qi, j]))
             for j in range(7)
-            if keys[qi, j] is not None
+            if np.isfinite(scores[qi, j])  # the validity mask
         ]
         want = [(r.key, r.score) for r in row]
         assert len(got) == len(want), (qi, got, want)
         for (gk, gs), (wk, ws) in zip(got, want):
             assert gk == wk and abs(gs - ws) < 1e-6 * max(1.0, abs(ws)), qi
+
+
+def test_get_arrays_object_keys():
+    ix = Index(1)
+    ix.add_document([lambda d: [d]], lambda s: s.split(" "), "strkey", "alpha")
+    ix.add_document([lambda d: [d]], lambda s: s.split(" "), 7, "alpha beta")
+    dix = ix.device_index()
+    scores, slots, keys = dix.query_batch_async(
+        ["alpha", "beta", "none"], bm25.new(), top_k=4
+    ).get_arrays()
+    assert keys.dtype == object
+    row0 = [keys[0, j] for j in range(4) if np.isfinite(scores[0, j])]
+    assert set(row0) == {"strkey", 7}
+    assert all(k is None for k, s in zip(keys[2], scores[2]) if not np.isfinite(s))

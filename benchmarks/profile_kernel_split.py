@@ -38,7 +38,7 @@ def main():
 
     real_merge = pq.merge_body
 
-    def stub_merge(k, qterm_bits, key_in, score_in, out_s, out_d, ks, vs, hs):
+    def stub_merge(k, qterm_bits, key_in, score_in, out_s, out_d, ks, vs, hs, **kw):
         rows = ks.shape[0]
         m = jnp.max(score_in, axis=1, keepdims=True)
         out_s[...] = jnp.broadcast_to(m, (rows, k))

@@ -3,9 +3,8 @@
 The reference indexes one document at a time by walking the trie per term
 occurrence (`/root/reference/src/index.rs:77-158`).  The TPU-native build is
 a batched pipeline (SURVEY §7): tokenize -> intern -> sort by (term, doc) ->
-segment-sum term frequencies -> CSR pack.  This module is the vectorized
-host implementation (NumPy); ops/build.py provides the on-device variant of
-the sort/pack stages.
+segment-sum term frequencies -> CSR pack, vectorized on host (NumPy) with a
+native C++ tokenize+intern fast path (native/psearch_native.cpp).
 
 End-state equivalence with sequential ``add_document`` calls: field stats
 are overwritten per add (index.rs:112-114), so after N adds

@@ -31,13 +31,16 @@ Device step per dispatch:
   merge_scores_topk — sorted segmented max/sum merge + lax.top_k
                     (ops/merge.py; the max_score_merger rule)
 
-Posting record layout (int32[P + C, 1 + 2F], interleaved so one slice
-fetches everything):
-  rec[:, 0]        doc slot, or -1 if the doc was dead at snapshot time
-                   (liveness is baked in: the snapshot is rebuilt on any
-                   index mutation)
-  rec[:, 1:1+F]    per-field term frequency (DocumentPointer.term_frequency)
-  rec[:, 1+F:1+2F] per-field doc length, f32 bits (DocumentDetails)
+Posting record layout (transposed int32[R, P + C], interleaved so one slice
+fetches everything; R = (1 + 2F + 1) rounded up to the sublane multiple 4):
+  rec[0]         doc slot — ALWAYS the true slot, even for docs dead at
+                 snapshot time, so every term's posting run stays ascending
+                 in key order (the merge kernel merges pre-sorted chunks
+                 instead of sorting, ops/pallas_merge.py)
+  rec[1:1+F]     per-field term frequency (DocumentPointer.term_frequency)
+  rec[1+F:1+2F]  per-field doc length, f32 bits (DocumentDetails)
+  rec[1+2F]      doc liveness at snapshot time (0/1; snapshots are rebuilt
+                 on any index mutation, so this bakes in latent deletes)
 
 The term dictionary stays on the host (strings never cross to device).  A
 query term's expansions may span several delta segments; jobs carrying the
@@ -205,12 +208,13 @@ def _query_step_impl(
     doc = g[:, :, 0, :]  # [B, NC, C]
     tf = g[:, :, 1 : 1 + F, :].astype(jnp.float32)  # [B, NC, F, C]
     flen = jax.lax.bitcast_convert_type(g[:, :, 1 + F : 1 + 2 * F, :], jnp.float32)
+    alive = g[:, :, 1 + 2 * F, :]  # liveness row (rec layout above)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, NC, C), dimension=2)
     live = (
         (pos >= c_skip[..., None])
         & (pos < (c_skip + c_len)[..., None])
-        & (doc >= 0)
+        & (alive > 0)
     )
 
     lanes = ScoreLanes(
@@ -265,14 +269,17 @@ def _window_step_impl(
     buffer, returning ONE packed output array:
 
     * ``words_flat`` int32[total] — every class's [B_pad, NJ*3] job table,
-      concatenated.  ``class_specs`` = ((b_pad, nj, nc), ...) statically
-      describes the layout.
-    * returns int32[sum(b_pad), 2, k]: row 0 = scores (f32 bits), row 1 =
+      concatenated.  ``class_specs`` = ((b_pad, b_out, nj, nc), ...)
+      statically describes the layout; ``b_out <= b_pad`` is the number of
+      output rows kept per class (real queries rounded up to coarse
+      granularity — the pow-of-two pad rows would otherwise inflate the
+      result fetch, the serving bottleneck on tunneled devices).
+    * returns int32[sum(b_out), 2, k]: row 0 = scores (f32 bits), row 1 =
       doc slots — a single D2H fetch drains the window.
     """
     outs = []
     off = 0
-    for b_pad, nj, nc in class_specs:
+    for b_pad, b_out, nj, nc in class_specs:
         n = b_pad * nj * 3
         jobs_flat = words_flat[off : off + n].reshape(b_pad, nj * 3)
         off += n
@@ -289,13 +296,15 @@ def _window_step_impl(
             fields_boost=fields_boost,
             jobs_flat=jobs_flat,
         )
+        s = s[:b_out]
+        d = d[:b_out]
         if kk < k:
             s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
             d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=-1)
         outs.append(
             jnp.stack([jax.lax.bitcast_convert_type(s, jnp.int32), d], axis=1)
         )
-    return jnp.concatenate(outs, axis=0)  # [sum(B_pad), 2, k]
+    return jnp.concatenate(outs, axis=0)  # [sum(b_out), 2, k]
 
 
 _STEP_CACHE: Dict[Any, Any] = {}
@@ -430,18 +439,20 @@ class DeviceIndex:
         # TRANSPOSED layout [R, P + C]: chunk gathers become [R, C] slices
         # with the chunk dimension minor (a [C, R] layout pads R to 128
         # lanes and wastes ~40x HBM bandwidth).  R is padded to a multiple
-        # of 4: Mosaic requires DMA slices sublane-tile aligned.
+        # of 4 (Mosaic requires DMA slices sublane-tile aligned); 1 + 2F is
+        # odd, so the liveness row 1 + 2F always fits inside the pad.
         R = -(-(1 + 2 * F) // 4) * 4
         rec = np.zeros((R, P + C), dtype=np.int32)
-        rec[0] = -1
+        rec[0] = -1  # slack tail: never in any job's payload range
         if P:
             post_doc = np.concatenate(doc_parts)
             post_tf = np.concatenate(tf_parts)
             alive = index._alive[:S]
             doc_len = index._doc_len[:S].astype(np.float32)
-            rec[0, :P] = np.where(alive[post_doc], post_doc, -1)
+            rec[0, :P] = post_doc  # true slot even when dead: keeps runs sorted
             rec[1 : 1 + F, :P] = post_tf.T
             rec[1 + F : 1 + 2 * F, :P] = doc_len[post_doc].view(np.int32).T
+            rec[1 + 2 * F, :P] = alive[post_doc]
         self.rec = jnp.asarray(rec)
         self.field_avg = jnp.asarray(
             np.array([fd.avg for fd in index._fields], dtype=np.float32)
@@ -792,8 +803,18 @@ class DeviceIndex:
             # dispatch round trip and the per-transfer fixed costs ONCE.
             # Compiles once per composition (persistent compile cache makes
             # that a first-run cost).
+            # Output rows per class: the real query count rounded up to a
+            # coarse 256 granularity — fine enough to drop most pow-2 pad
+            # rows from the D2H fetch, coarse enough to keep the number of
+            # distinct window compositions (= compiles) small.
             class_specs = tuple(
-                (jobs_flat.shape[0], nj, nc) for _, jobs_flat, nc, nj in dispatches
+                (
+                    jobs_flat.shape[0],
+                    min(jobs_flat.shape[0], -(-len(idxs) // 256) * 256),
+                    nj,
+                    nc,
+                )
+                for idxs, jobs_flat, nc, nj in dispatches
             )
             with metrics.timer("query/h2d"):
                 words_flat = jnp.asarray(
@@ -816,9 +837,9 @@ class DeviceIndex:
                 )
             layout = []
             row = 0
-            for (idxs, _, _, _), (b_pad, _, _) in zip(dispatches, class_specs):
+            for (idxs, _, _, _), (_, b_out, _, _) in zip(dispatches, class_specs):
                 layout.append((idxs, row))
-                row += b_pad
+                row += b_out
             return PendingBatch(
                 self, len(queries), [], packed=packed, layout=layout, host_rows=host_rows
             )

@@ -99,8 +99,13 @@ def build_segment(
     """Build a segment from unsorted (term, doc_slot, tf[F]) rows.
 
     This is the host reference implementation of the build pipeline
-    (tokenize -> sort by (term, doc) -> CSR pack); `ops/build.py` provides
-    the batched on-device variant of the sort/pack stages.
+    (tokenize -> sort by (term, doc) -> CSR pack).
+
+    INVARIANT: ``post_doc`` is ascending within every term's posting range
+    (the lexsort below; bulk.py's sorted-unique pack and merge_segments ->
+    build_segment preserve it).  The device merge kernel relies on this —
+    gathered posting chunks are pre-sorted runs, so the fused kernel merges
+    rather than sorts (ops/pallas_merge.py).
     """
     P = len(rows_term)
     if P == 0:

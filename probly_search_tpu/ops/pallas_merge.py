@@ -109,6 +109,52 @@ def _segmented_scan(op, vals, heads, pos, identity):
     return vals
 
 
+def _ce_selected(key, val, pos, q: int, group: int):
+    """Batcher odd-even-merge comparator stage: CE(i, i+q) for lanes with
+    ``(i & q) != 0`` and ``i mod group < group - q`` (ascending).  Unpaired
+    lanes pass through.  Partner values come from lane rotations; wrapped
+    values are never selected (the predicates exclude group boundaries).
+    """
+    L = key.shape[-1]
+    pk_l = pltpu.roll(key, L - q, 1)  # key[i + q]
+    pk_r = pltpu.roll(key, q, 1)  # key[i - q]
+    pv_l = pltpu.roll(val, L - q, 1)
+    pv_r = pltpu.roll(val, q, 1)
+    ingrp = pos & (group - 1)
+    is_low = ((pos & q) != 0) & (ingrp < group - q)
+    prev = pos - q
+    is_high = (pos >= q) & ((prev & q) != 0) & ((prev & (group - 1)) < group - q)
+    pk = jnp.where(is_low, pk_l, pk_r)
+    pv = jnp.where(is_low, pv_l, pv_r)
+    swap = (is_low & (key > pk)) | (is_high & (key < pk))
+    return jnp.where(swap, pk, key), jnp.where(swap, pv, val)
+
+
+def _oddeven_merge_runs_inplace(key_ref, val_ref, pos, run: int):
+    """Merge ascending runs of length ``run`` into one ascending row.
+
+    Batcher's odd-even merge, one level per doubling: stage 1 pairs lanes at
+    distance m across the two runs (partner ``i ^ m``, all ascending — the
+    existing ``_compare_exchange`` with direction bit 0), then selected
+    stages at q = m/2 .. 1.  ``1 + log2(m)`` stages per level vs the full
+    bitonic sort's ``log2(L) * (log2(L)+1) / 2`` — the payoff for gathering
+    posting chunks that are already doc-sorted (index/segment.py invariant).
+    """
+    L = pos.shape[-1]
+    m = run
+    while m < L:
+        key, val = _compare_exchange(key_ref[...], val_ref[...], pos, m, 0)
+        key_ref[...] = key
+        val_ref[...] = val
+        q = m // 2
+        while q >= 1:
+            key, val = _ce_selected(key_ref[...], val_ref[...], pos, q, 2 * m)
+            key_ref[...] = key
+            val_ref[...] = val
+            q //= 2
+        m *= 2
+
+
 def _bitonic_sort_inplace(key_ref, val_ref, pos):
     """Bitonic sort writing every comparator stage through scratch refs.
 
@@ -142,18 +188,46 @@ def _segmented_scan_inplace(op, val_ref, head_ref, pos, identity):
         d *= 2
 
 
-def merge_body(k: int, qterm_bits: int, key_in, score_in, out_s, out_d, ks, vs, hs):
+def merge_body(
+    k: int,
+    qterm_bits: int,
+    key_in,
+    score_in,
+    out_s,
+    out_d,
+    ks,
+    vs,
+    hs,
+    run: int = 0,
+    excl: bool = False,
+):
     """Shared merge pipeline over scratch refs ks (i32), vs (f32), hs (i32).
 
     ``key_in``/``score_in`` are [rows, L] values copied into the scratch
     refs.  Writes [rows, k] outputs through ``out_s``/``out_d`` refs.
+
+    ``run > 0`` declares the input pre-sorted in ascending runs of that
+    length (posting chunks are doc-sorted, index/segment.py), replacing the
+    full bitonic sort with Batcher odd-even merge levels.  In that scheme
+    dead lanes carry key ``-1`` (leading pads) or ``INVALID_KEY`` (trailing
+    pads) and per-doc kill is by score ``-inf``; both sentinels are dropped
+    by the final ``key >= 0`` / ``!= INVALID_KEY`` mask.
+
+    ``excl=True`` applies the reference's nonpositive-total exclusion
+    (bm25.rs:89-92) POST-merge: per-posting nonpositive scores must already
+    be clamped to 0 by the caller, and docs whose total is not > 0 are
+    dropped here.
     """
     rows, L = ks.shape
     pos = _lane_iota(rows, L)
     ks[...] = key_in
     vs[...] = score_in
 
-    _bitonic_sort_inplace(ks, vs, pos)
+    if 0 < run < L:
+        _oddeven_merge_runs_inplace(ks, vs, pos, run)
+    elif run == 0:
+        _bitonic_sort_inplace(ks, vs, pos)
+    # run >= L: a single ascending run per row — already sorted.
     key = ks[...]
 
     # Stage 1: max over runs of equal (doc, qterm) key.
@@ -167,8 +241,11 @@ def merge_body(k: int, qterm_bits: int, key_in, score_in, out_s, out_d, ks, vs, 
     hs[...] = (doc != _shift_right(doc, pos, 1, -1)).astype(jnp.int32)
     _segmented_scan_inplace(jnp.add, vs, hs, pos, 0.0)
     tail2 = doc != _shift_left(doc, pos, 1, -1)
-    live = key != INVALID_KEY
-    vs[...] = jnp.where(tail2 & live, vs[...], _NEG_INF)
+    live = (key != INVALID_KEY) & (key >= 0)
+    keep = tail2 & live
+    if excl:
+        keep = keep & (vs[...] > 0.0)
+    vs[...] = jnp.where(keep, vs[...], _NEG_INF)
 
     # Iterative top-k (k small); accumulate [rows, k] and store once.
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
@@ -189,11 +266,33 @@ def merge_body(k: int, qterm_bits: int, key_in, score_in, out_s, out_d, ks, vs, 
     out_d[...] = acc_d
 
 
-def _merge_kernel(k: int, qterm_bits: int, key_ref, score_ref, out_s_ref, out_d_ref, ks, vs, hs):
+def _merge_kernel(
+    k: int,
+    qterm_bits: int,
+    run: int,
+    excl: bool,
+    key_ref,
+    score_ref,
+    out_s_ref,
+    out_d_ref,
+    ks,
+    vs,
+    hs,
+):
     # input/output refs are [1, rows, L] / [1, rows, k] blocks (3-D so
     # trailing dims equal the array's; Pallas TPU block rule).
     merge_body(
-        k, qterm_bits, key_ref[0], score_ref[0], out_s_ref.at[0], out_d_ref.at[0], ks, vs, hs
+        k,
+        qterm_bits,
+        key_ref[0],
+        score_ref[0],
+        out_s_ref.at[0],
+        out_d_ref.at[0],
+        ks,
+        vs,
+        hs,
+        run=run,
+        excl=excl,
     )
 
 
@@ -212,9 +311,19 @@ def pick_rows_per_block(B: int, L: int, bytes_per_lane: int = 60, budget: int = 
 
 
 def merge_scores_topk_pallas(
-    key, score, k: int, qterm_bits: int, rows_per_block: int | None = None, interpret: bool = False
+    key,
+    score,
+    k: int,
+    qterm_bits: int,
+    rows_per_block: int | None = None,
+    interpret: bool = False,
+    run: int = 0,
+    excl: bool = False,
 ):
-    """Drop-in replacement for ops.merge.merge_scores_topk on TPU."""
+    """Drop-in replacement for ops.merge.merge_scores_topk on TPU.
+
+    ``run``/``excl`` select the pre-sorted-runs scheme (see merge_body).
+    """
     B, L = key.shape
     rows = rows_per_block or pick_rows_per_block(B, L)
     rows = min(rows, B)
@@ -223,7 +332,7 @@ def merge_scores_topk_pallas(
     rows = max(rows, 1)
     G = B // rows
     grid = (G,)
-    kernel = functools.partial(_merge_kernel, k, qterm_bits)
+    kernel = functools.partial(_merge_kernel, k, qterm_bits, run, excl)
     out_s, out_d = pl.pallas_call(
         kernel,
         grid=grid,

@@ -91,9 +91,10 @@ def _query_kernel(
                 ).wait()
 
     g = g_ref[:, :, :, :]  # [ROWS, NC, R, C]
-    doc = g[:, :, 0, :]  # [ROWS, NC, C]
+    doc = g[:, :, 0, :]  # [ROWS, NC, C] — true doc slot, even for dead docs
     tf = g[:, :, 1 : 1 + F, :].astype(jnp.float32)  # [ROWS, NC, F, C]
     flen = pltpu.bitcast(g[:, :, 1 + F : 1 + 2 * F, :], jnp.float32)
+    alive = g[:, :, 1 + 2 * F, :] > 0  # liveness row (index/device.py rec)
 
     c_skip = c_skip_ref[0]
     c_len = c_len_ref[0]
@@ -101,11 +102,8 @@ def _query_kernel(
     c_scale = c_scale_ref[0]
 
     cpos = jax.lax.broadcasted_iota(jnp.int32, (ROWS, NC, C), 2)
-    live = (
-        (cpos >= c_skip[..., None])
-        & (cpos < (c_skip + c_len)[..., None])
-        & (doc >= 0)
-    )
+    in_pay = (cpos >= c_skip[..., None]) & (cpos < (c_skip + c_len)[..., None])
+    live = in_pay & alive
 
     # ---- scoring (vectorized scorer protocol) -------------------------- #
     from ..index.device import ScoreLanes
@@ -121,11 +119,23 @@ def _query_kernel(
         qterm=c_qterm,
     )
     score = scorer.device_score_lanes(lanes)  # [ROWS, NC, C]
-    if getattr(scorer, "device_excludes_nonpositive", False):
-        # score() -> None postings never merge (bm25.rs:89-92).
-        live = live & (score > 0.0)
-
-    key = jnp.where(live, (doc << qterm_bits) | c_qterm[..., None], INVALID_KEY)
+    excl = bool(getattr(scorer, "device_excludes_nonpositive", False))
+    if excl:
+        # score() -> None postings never merge (bm25.rs:89-92): clamp to 0
+        # here, drop not->0 doc totals post-merge (merge_body excl).
+        score = jnp.where(score > 0.0, score, 0.0)
+    # Pre-sorted-runs scheme: every chunk stays an ascending key run —
+    # payload lanes keep their doc-sorted keys (CSR invariant,
+    # index/segment.py), leading pads sink to -1, trailing pads rise to
+    # INVALID_KEY.  Latently-dead docs keep ordered keys but poison their
+    # totals with -inf (all of a doc's postings are dead together).
+    score = jnp.where(in_pay, score, 0.0)
+    score = jnp.where(in_pay & jnp.logical_not(alive), _NEG_INF, score)
+    key = jnp.where(
+        in_pay,
+        (doc << qterm_bits) | c_qterm[..., None],
+        jnp.where(cpos < c_skip[..., None], -1, INVALID_KEY),
+    )
 
     # ---- merge + top-k (VMEM-resident, in-place pipeline) --------------- #
     merge_body(
@@ -138,6 +148,8 @@ def _query_kernel(
         ks,
         vs,
         hs,
+        run=C,
+        excl=excl,
     )
 
 

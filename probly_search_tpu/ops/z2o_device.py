@@ -116,10 +116,11 @@ def z2o_step(
     doc = g[:, :, 0, :]  # [B, NC, C]
     tf = g[:, :, 1 : 1 + F, :].astype(jnp.float32)  # [B, NC, F, C]
     flen = jax.lax.bitcast_convert_type(g[:, :, 1 + F : 1 + 2 * F, :], jnp.float32)
+    alive = g[:, :, 1 + 2 * F, :]  # liveness row (index/device.py rec layout)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, NC, C), dimension=2)
     live = (
-        (pos >= c_skip[..., None]) & (pos < (c_skip + c_len)[..., None]) & (doc >= 0)
+        (pos >= c_skip[..., None]) & (pos < (c_skip + c_len)[..., None]) & (alive > 0)
     )
 
     # --- entries: one lane per (posting, field) with tf > 0 -------------- #

@@ -114,16 +114,19 @@ class ShardedDeviceIndex:
         # Transposed per-shard record arrays [n, R, Pmax + C] (see
         # index/device.py layout note).
         rec = np.zeros((n, R, pmax + C), dtype=np.int32)
-        rec[:, 0] = -1
+        rec[:, 0] = -1  # slack tail; payload columns overwritten below
         for s in range(n):
             sel = shard_rows[s]
             m = len(sel)
             if m:
                 gdoc = post_doc[sel]
                 local = gdoc // n
-                rec[s, 0, :m] = np.where(alive[gdoc], local, -1)
+                # True local slot even for dead docs + liveness row — the
+                # pre-sorted-runs merge scheme (see index/device.py rec).
+                rec[s, 0, :m] = local
                 rec[s, 1 : 1 + F, :m] = gseg.post_tf[sel].T
                 rec[s, 1 + F : 1 + 2 * F, :m] = doc_len[gdoc].view(np.int32).T
+                rec[s, 1 + 2 * F, :m] = alive[gdoc]
 
         # Place shard-major arrays on the mesh: sharded over "docs",
         # replicated over "data".

@@ -471,11 +471,17 @@ class Index:
         ]
 
     def device_index(self):
-        """Device-resident snapshot (cached until the index mutates)."""
+        """Device-resident snapshot (cached until the index mutates or the
+        snapshot-shaping config changes)."""
         from .device import DeviceIndex
 
         self._flush_pending()
-        if self._device_cache is None or self._device_cache.version != self._version:
+        want_chunk = int(getattr(self.config, "chunk_size", 0) or DeviceIndex.CHUNK)
+        if (
+            self._device_cache is None
+            or self._device_cache.version != self._version
+            or self._device_cache.CHUNK != want_chunk
+        ):
             self._device_cache = DeviceIndex(self)
         return self._device_cache
 

@@ -178,3 +178,20 @@ def test_segment_csr_invariants():
             docs = seg.post_doc[offs[tid] : offs[tid + 1]]
             assert np.all(np.diff(docs) > 0)  # strictly increasing (dedup'd)
         assert np.array_equal(seg.post_occ, seg.post_tf.sum(axis=1))
+
+
+def test_device_snapshot_cache_invalidation():
+    # The cached device snapshot must be rebuilt when the index mutates OR
+    # when snapshot-shaping config (chunk_size) changes — a stale snapshot
+    # would silently serve the old chunk geometry.
+    index = Index(1)
+    for i in range(8):
+        index.add_document([field_accessor], tokenizer, i, Doc(id=i, text=f"a{i} b"))
+    d1 = index.device_index()
+    assert index.device_index() is d1  # same version + config -> cached
+    index.config.chunk_size = 512
+    d2 = index.device_index()
+    assert d2 is not d1 and d2.CHUNK == 512
+    index.add_document([field_accessor], tokenizer, 99, Doc(id=99, text="b c"))
+    d3 = index.device_index()
+    assert d3 is not d2 and d3.version == index.version

@@ -228,24 +228,37 @@ def _query_step_impl(
         qterm=c_qterm,
     )
     score = scorer.device_score_lanes(lanes)  # [B, NC, C]
-    if getattr(scorer, "device_excludes_nonpositive", False):
-        # Host semantics: score() returns None for totals <= 0, so those
-        # postings never enter the merge (bm25.rs:89-92).  A doc whose every
-        # contribution is non-positive must be absent from the results.
-        live = live & (score > 0.0)
+    excl = bool(getattr(scorer, "device_excludes_nonpositive", False))
 
+    if (C & (C - 1)) == 0:
+        # Pre-sorted-runs scheme (chunks are ascending doc runs, CSR
+        # invariant): odd-even merge instead of lax.sort, same sentinel /
+        # exclusion semantics as the fused kernel (ops/pallas_merge.py).
+        from ..ops.merge import merge_scores_topk_presorted
+
+        in_pay = (pos >= c_skip[..., None]) & (pos < (c_skip + c_len)[..., None])
+        alive_b = alive > 0
+        if excl:
+            # score() -> None postings never merge (bm25.rs:89-92).
+            score = jnp.where(score > 0.0, score, 0.0)
+        score = jnp.where(in_pay, score, 0.0)
+        score = jnp.where(in_pay & jnp.logical_not(alive_b), -jnp.inf, score)
+        key = jnp.where(
+            in_pay,
+            (doc << qterm_bits) | c_qterm[..., None],
+            jnp.where(pos < c_skip[..., None], -1, INVALID_KEY),
+        )
+        return merge_scores_topk_presorted(
+            key.reshape(B, L), score.reshape(B, L), k, qterm_bits, C, excl
+        )
+
+    # Non-power-of-two chunk widths: general sort-based merge.
+    if excl:
+        live = live & (score > 0.0)
     key = jnp.where(
         live, (doc << qterm_bits) | c_qterm[..., None], INVALID_KEY
     ).reshape(B, L)
-    score = score.reshape(B, L)
-    # Fused Pallas merge on TPU (VMEM-resident sort+scan+topk; ~20x the XLA
-    # merge); XLA merge elsewhere (CPU tests, and lane widths whose unrolled
-    # sort network exceeds Mosaic's scoped VMEM stack).
-    if jax.default_backend() != "cpu" and (L & (L - 1)) == 0 and L <= _FUSED_MAX_LANES:
-        from ..ops.pallas_merge import merge_scores_topk_pallas
-
-        return merge_scores_topk_pallas(key, score, k, qterm_bits)
-    return merge_scores_topk(key, score, k, qterm_bits)
+    return merge_scores_topk(key, score.reshape(B, L), k, qterm_bits)
 
 
 def _window_step_impl(

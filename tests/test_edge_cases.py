@@ -1,5 +1,7 @@
 """Edge cases and error paths."""
 
+import random
+
 import pytest
 
 from probly_search_tpu import Index, IndexConfig, bm25, zero_to_one
@@ -161,3 +163,31 @@ def test_stateful_scorer_reuse_across_queries():
     r1 = ix.query("abc", scorer, tokenizer, [1.0])
     r2 = ix.query("abc", scorer, tokenizer, [1.0])
     assert [(r.key, r.score) for r in r1] == [(r.key, r.score) for r in r2]
+
+
+def test_non_power_of_two_chunk_falls_back_to_sort_merge():
+    # chunk_size that is a multiple of 128 but not a power of two routes the
+    # staged path through the general sort-based merge (the pre-sorted-runs
+    # odd-even network needs power-of-two runs) — results must not change.
+    from probly_search_tpu import Index, bm25, whitespace_tokenizer
+
+    ix = Index(1)
+    f0 = lambda d: [d]
+    rng = random.Random(11)
+    vocab = ["w%02d" % i for i in range(40)]
+    for i in range(300):
+        ix.add_document(
+            [f0], whitespace_tokenizer, i,
+            " ".join(rng.choice(vocab) for _ in range(6)),
+        )
+    ix.remove_document(7)  # latent delete in the snapshot
+    ix.config.chunk_size = 384
+    dix = ix.device_index()
+    assert dix.CHUNK == 384
+    qs = ["w01 w02", "w0", "w39 w11 w22", ""]
+    rows = dix.query_batch(qs, bm25.new(), top_k=5)
+    for q, got in zip(qs, rows):
+        want = ix.query(q, bm25.new(), whitespace_tokenizer, [1.0])[:5]
+        assert [g.key for g in got] == [w.key for w in want], (q, got, want)
+        for g, w in zip(got, want):
+            assert abs(g.score - w.score) <= 2e-5 * max(1.0, abs(w.score))

@@ -13,8 +13,6 @@ import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-import numpy as np
-
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from bench import make_corpus, make_queries, log  # noqa: E402
 

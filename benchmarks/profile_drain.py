@@ -84,7 +84,10 @@ def main():
         f1.result()
         f2.result()
     t_two = time.perf_counter() - t0
-    log(f"2 concurrent fetches: {1e3 * t_two:.0f}ms total (serial would be ~{1e3 * (t1 + t2):.0f}ms)")
+    log(
+        f"2 concurrent fetches: {1e3 * t_two:.0f}ms total "
+        f"(serial would be ~{1e3 * (t1 + t2):.0f}ms)"
+    )
 
     # get_arrays total (fetch + assembly) on a completed window.
     t0 = time.perf_counter()

@@ -50,6 +50,7 @@ over the term's full posting set across segments.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -366,6 +367,20 @@ def _bucket(n: int, buckets: Sequence[int], minimum: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def _bucket_vec(n: np.ndarray, buckets: Sequence[int], minimum: int) -> np.ndarray:
+    """Vectorized ``_bucket`` (32k per-query python calls showed up in the
+    host profile; planning runs on the serving main thread)."""
+    n = np.maximum(np.asarray(n, dtype=np.int64), minimum)
+    b = np.asarray(buckets, dtype=np.int64)
+    idx = np.searchsorted(b, n, side="left")
+    out = b[np.minimum(idx, len(b) - 1)]
+    big = idx >= len(b)
+    if big.any():
+        # exact next power of two (log2 of ints is exact at powers of two)
+        out[big] = 1 << np.ceil(np.log2(n[big])).astype(np.int64)
+    return out
+
+
 def _segment_arange(counts: np.ndarray) -> np.ndarray:
     """[0..c0), [0..c1), ... concatenated (vectorized)."""
     total = int(counts.sum())
@@ -473,8 +488,11 @@ class DeviceIndex:
         self.n_docs = float(len(index._docs))
         self.slot_to_key = list(index._slot_to_key)
         self._key_arr: Optional[np.ndarray] = None
-        # Per-(scorer key) pooled term-plan cache (see _term_plans).
+        # Per-(scorer key) pooled term-plan cache (see _term_plans).  The
+        # lock serializes pool growth: concurrent query_batch_async callers
+        # must not observe a pool whose parallel arrays are mid-update.
         self._plan_pools: Dict[Any, Dict[str, Any]] = {}
+        self._plan_lock = threading.RLock()
 
 
     # ------------------------------------------------------------------ #
@@ -496,6 +514,8 @@ class DeviceIndex:
         if pool is None:
             pool = {
                 "ids": {},  # term -> dense id
+                "sorted_terms": np.zeros(0, dtype=np.str_),  # probe arrays
+                "sorted_ids": np.zeros(0, dtype=np.int64),  # (see plan_batch)
                 "off": np.zeros(1, dtype=np.int64),
                 "start": np.zeros(0, dtype=np.int64),
                 "len": np.zeros(0, dtype=np.int64),
@@ -637,17 +657,28 @@ class DeviceIndex:
         pool["scale"] = np.concatenate([pool["scale"], scale])
         pool["chunks"] = np.concatenate([pool["chunks"], term_chunks])
         pool["over_cap"] = np.concatenate([pool["over_cap"], over_cap])
+        # Rebuild the sorted probe arrays (miss-time only; steady-state
+        # planning never takes this path).
+        keys = np.asarray(list(ids.keys()), dtype=np.str_)
+        order = np.argsort(keys)
+        pool["sorted_terms"] = keys[order]
+        vals = np.fromiter((ids[k] for k in keys), dtype=np.int64, count=len(keys))
+        pool["sorted_ids"] = vals[order]
 
     def plan_batch(self, queries: Sequence[str], tokenizer, scorer):
-        """Plan a batch into a flat job table.
+        """Plan a batch into a flat job table (thread-safe).
 
         Per-term plans (expansion ranges, df, scale) are snapshot-static
-        and cached (`_term_plans`); batch planning is tokenize + dict
-        lookups + CSR gathers.  Returns ``(PlannedJobs | None, fallback)``
+        and cached (`_term_plans`); batch planning is tokenize + sorted
+        probes + CSR gathers.  Returns ``(PlannedJobs | None, fallback)``
         where ``fallback`` lists queries exceeding a device cap (too many
         terms / expansions); those degrade to the exact host path per
         query — the host path has no caps, matching the reference.
         """
+        with self._plan_lock:
+            return self._plan_batch_impl(queries, tokenizer, scorer)
+
+    def _plan_batch_impl(self, queries: Sequence[str], tokenizer, scorer):
         B = len(queries)
         fallback: List[int] = []
 
@@ -665,19 +696,24 @@ class DeviceIndex:
         flat_qterm = _segment_arange(counts).astype(np.int64)
         flat_terms = [t for toks in tok_lists for t in toks]
 
+        def lookup(pool, flat_arr):
+            # Sorted-array probe instead of per-term python dict gets (49k
+            # dict lookups per 16k-query window showed up in the host
+            # profile; this is two vectorized searchsorted+compare passes).
+            st = pool["sorted_terms"] if pool is not None else None
+            if st is None or len(st) == 0:
+                return np.full(len(flat_arr), -1, np.int64)
+            p = np.minimum(np.searchsorted(st, flat_arr), len(st) - 1)
+            return np.where(st[p] == flat_arr, pool["sorted_ids"][p], -1)
+
         pool = self._plan_pools.get(_scorer_cache_key(scorer))
-        ids = pool["ids"] if pool is not None else {}
-        tids = np.fromiter(
-            (ids.get(t, -1) for t in flat_terms), dtype=np.int64, count=total_terms
-        )
+        flat_arr = np.asarray(flat_terms, dtype=np.str_)
+        tids = lookup(pool, flat_arr)
         if (tids < 0).any():  # cache misses: compute those term plans once
             miss = sorted({t for t, i in zip(flat_terms, tids) if i < 0})
             self._term_plans(np.asarray(miss, dtype=np.str_), scorer)
             pool = self._plan_pools[_scorer_cache_key(scorer)]
-            ids = pool["ids"]
-            tids = np.fromiter(
-                (ids[t] for t in flat_terms), dtype=np.int64, count=total_terms
-            )
+            tids = lookup(pool, flat_arr)
 
         # Queries containing an over-cap term degrade to the host path.
         over = pool["over_cap"][tids]
@@ -720,9 +756,7 @@ class DeviceIndex:
         Each dispatch is capped at LANES_PER_DISPATCH lanes.
         """
         C = self.CHUNK
-        nc_bucket = np.array(
-            [_bucket(int(c), self.NC_BUCKETS, 4) for c in plan.nchunks], dtype=np.int64
-        )
+        nc_bucket = _bucket_vec(plan.nchunks, self.NC_BUCKETS, 4)
         # One pass: per-query class id + position within class (queries are
         # index-sorted within each class), then every job places itself by
         # direct lookup — no per-class isin/searchsorted.

@@ -368,7 +368,7 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
     Returns list-of-result-rows; cap-exceeding queries degrade to the exact
     host path.
     """
-    from ..index.device import _bucket, _segment_arange
+    from ..index.device import _bucket, _bucket_vec, _segment_arange
     from ..models.base import QueryResult
     from ..models import zero_to_one as _z2o
     from ..utils.metrics import metrics
@@ -393,9 +393,7 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
         return results
 
     C = dix.CHUNK
-    nc_bucket = np.array(
-        [_bucket(int(c), dix.NC_BUCKETS, 4) for c in nchunks], dtype=np.int64
-    )
+    nc_bucket = _bucket_vec(nchunks, dix.NC_BUCKETS, 4)
     # Entry-lane width cap: the z2o program's sort + lockstep scans compile
     # pathologically past ~32k lanes, and the vectorized host lockstep
     # (models/zero_to_one.py) is already fast — route huge queries there.

@@ -38,6 +38,7 @@ from ..index.device import (
     _MAX_JOB_LEN,
     _QT_BITS,
     _bucket,
+    _bucket_vec,
     _segment_arange,
 )
 from ..index.segment import merge_segments
@@ -355,9 +356,7 @@ class ShardedDeviceIndex:
         # Shape classes (same bucketing as the single-chip engine), packed
         # into one flat per-(shard, data) buffer.
         with metrics.timer("sharded/pack"):
-            nc_bucket = np.array(
-                [_bucket(int(c), self.NC_BUCKETS, 4) for c in max_chunks], dtype=np.int64
-            )
+            nc_bucket = _bucket_vec(max_chunks, self.NC_BUCKETS, 4)
             class_specs = []
             layout = []  # (query_indices, data_rows, data_slots, row_offset)
             flat_parts = [[] for _ in range(n)]

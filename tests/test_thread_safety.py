@@ -52,3 +52,47 @@ def test_concurrent_mutation_and_query():
     # Final state is consistent: every non-removed key queryable.
     r = ix.query("shared", bm25.new(), tokenizer, [1.0])
     assert len(r) == len(ix.docs)
+
+
+def test_device_index_concurrent_plan_pool_growth():
+    """Concurrent query_batch_async callers grow the term-plan pool under
+    the plan lock; every thread must see consistent plans (parity with the
+    host oracle) even when all terms are cache misses."""
+    import numpy as np
+
+    from probly_search_tpu import Index, bm25, whitespace_tokenizer
+
+    ix = Index(1)
+    rng = random.Random(3)
+    vocab = ["t%04d" % i for i in range(400)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(8)) for _ in range(600)]
+    ix.add_documents_columnar(list(range(600)), [texts])
+    dix = ix.device_index()
+    scorer = bm25.new()
+
+    # Disjoint novel-term batches per thread -> every thread mutates pools.
+    batches = [
+        ["%s %s" % (vocab[i], vocab[i + 200]) for i in range(t * 40, t * 40 + 40)]
+        for t in range(4)
+    ]
+    out = {}
+    errs = []
+
+    def worker(t):
+        try:
+            out[t] = dix.query_batch(batches[t], scorer, top_k=5)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    for t, rows in out.items():
+        for q, got in zip(batches[t], rows):
+            want = ix.query(q, bm25.new(), whitespace_tokenizer, [1.0])[:5]
+            assert [g.key for g in got] == [w.key for w in want], (q,)
+            for g, w in zip(got, want):
+                assert abs(g.score - w.score) <= 2e-5 * max(1.0, abs(w.score))

@@ -55,8 +55,14 @@ def main():
     queries = [" ".join(row) for row in vocab[np.minimum(qids, len(vocab) - 1)]]
 
     scorer = zero_to_one.new()
-    # Warmup (compiles every shape class this workload hits).
-    ix.query_batch(queries, scorer, top_k=10, backend="device")
+    # Warmup (compiles every shape class this workload hits).  First-run
+    # remote compiles of the z2o program are SLOW (minutes per class); warm
+    # in small slices so progress is visible and the persistent compile
+    # cache accumulates even if a run is cut short.
+    t0 = time.time()
+    for s in range(0, n_queries, 64):
+        ix.query_batch(queries[s : s + 64], scorer, top_k=10, backend="device")
+        log(f"warm {s + 64}/{n_queries} ({time.time() - t0:.0f}s)")
     t1 = time.time()
     n_passes = 3
     for _ in range(n_passes):

@@ -164,33 +164,78 @@ def merge_segments(
     postings are retained — the reference keeps removed docs' postings in the
     trie until vacuum, which is observable through term expansion
     (`query.rs:136` checks ``first_doc.is_some()`` regardless of removal).
+
+    Fully vectorized on integer ids: strings are touched only at the
+    term-dictionary level (T entries), never per posting — a (term, doc)
+    pair exists in exactly one segment (a doc's postings live in one
+    segment; within a segment they are unique), so the merge is a
+    concatenate + integer lexsort + CSR re-pack.
     """
-    parts_terms: List[str] = []
-    parts_doc: List[np.ndarray] = []
-    parts_tf: List[np.ndarray] = []
-    for seg in segments:
-        if seg.num_postings == 0:
-            continue
-        # Expand per-posting term strings from CSR (vectorized repeat).
-        reps = np.diff(seg.offsets).astype(np.int64)
-        terms_per_post = np.repeat(np.asarray(seg.terms, dtype=object), reps)
-        doc = seg.post_doc
-        tf = seg.post_tf
+    live_segs = [s for s in segments if s.num_postings]
+    if not live_segs:
+        return empty_segment(num_fields)
+    if len(live_segs) == 1 and alive is None and slot_remap is None:
+        s = live_segs[0]
+        return Segment(
+            terms=list(s.terms),
+            term_lens=s.term_lens.copy(),
+            offsets=s.offsets.copy(),
+            post_doc=s.post_doc.copy(),
+            post_tf=s.post_tf.copy(),
+            post_occ=s.post_occ.copy(),
+        )
+
+    seg_term_arrs = [np.asarray(s.terms, dtype=np.str_) for s in live_segs]
+    terms_g = np.unique(np.concatenate(seg_term_arrs))
+    T = len(terms_g)
+
+    gtid_parts: List[np.ndarray] = []
+    doc_parts: List[np.ndarray] = []
+    tf_parts: List[np.ndarray] = []
+    for s, term_arr in zip(live_segs, seg_term_arrs):
+        local_to_global = np.searchsorted(terms_g, term_arr)
+        reps = np.diff(s.offsets).astype(np.int64)
+        gtid = np.repeat(local_to_global, reps)
+        doc = s.post_doc
+        tf = s.post_tf
         if alive is not None:
             keep = alive[doc]
-            terms_per_post = terms_per_post[keep]
-            doc = doc[keep]
-            tf = tf[keep]
+            gtid, doc, tf = gtid[keep], doc[keep], tf[keep]
         if slot_remap is not None:
             doc = slot_remap[doc].astype(np.int32)
-        parts_terms.extend(terms_per_post.tolist())
-        parts_doc.append(doc)
-        parts_tf.append(tf)
-    if not parts_doc:
+        gtid_parts.append(gtid)
+        doc_parts.append(doc)
+        tf_parts.append(tf)
+
+    gtid = np.concatenate(gtid_parts)
+    if len(gtid) == 0:
         return empty_segment(num_fields)
-    return build_segment(
-        parts_terms,
-        np.concatenate(parts_doc),
-        np.concatenate(parts_tf),
-        num_fields,
+    post_doc = np.concatenate(doc_parts)
+    post_tf = np.concatenate(tf_parts)
+    order = np.lexsort((post_doc, gtid))
+    gtid = gtid[order]
+    post_doc = post_doc[order]
+    post_tf = post_tf[order]
+
+    counts = np.bincount(gtid, minlength=T)
+    offsets = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    # Terms with every posting dropped (vacuumed-away) are pruned, like the
+    # reference's vacuum_node subtree removal (index.rs:216-239).
+    if (counts == 0).any():
+        keep_t = counts > 0
+        terms_g = terms_g[keep_t]
+        offsets = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(counts[keep_t])]
+        )
+    terms = [str(t) for t in terms_g]
+    return Segment(
+        terms=terms,
+        term_lens=np.fromiter(
+            (len(t.encode("utf-8")) for t in terms), dtype=np.int32, count=len(terms)
+        ),
+        offsets=offsets,
+        post_doc=post_doc.astype(np.int32, copy=False),
+        post_tf=post_tf.astype(np.int32, copy=False).reshape(len(post_doc), num_fields),
+        post_occ=post_tf.sum(axis=1, dtype=np.int32).reshape(-1),
     )

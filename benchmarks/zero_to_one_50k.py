@@ -57,12 +57,15 @@ def main():
     scorer = zero_to_one.new()
     # Warmup (compiles every shape class this workload hits).  First-run
     # remote compiles of the z2o program are SLOW (minutes per class); warm
-    # in small slices so progress is visible and the persistent compile
-    # cache accumulates even if a run is cut short.
+    # in small slices first so progress is visible and the persistent
+    # compile cache accumulates even if a run is cut short, then once at
+    # the full timed batch shape (dispatch shapes depend on batch size).
     t0 = time.time()
     for s in range(0, n_queries, 64):
         ix.query_batch(queries[s : s + 64], scorer, top_k=10, backend="device")
         log(f"warm {s + 64}/{n_queries} ({time.time() - t0:.0f}s)")
+    ix.query_batch(queries, scorer, top_k=10, backend="device")
+    log(f"warm full batch ({time.time() - t0:.0f}s)")
     t1 = time.time()
     n_passes = 3
     for _ in range(n_passes):

@@ -102,10 +102,19 @@ def tokenize_index_native(
             : len(texts)
         ].copy()
         blob_out = ctypes.string_at(r.terms_blob, int(r.terms_blob_len))
-        terms = blob_out.decode("utf-8").split("\x00")[:-1] if n_terms else []
         term_lens = np.ctypeslib.as_array(r.term_byte_lens, shape=(max(n_terms, 1),))[
             :n_terms
         ].copy()
+        # Slice the blob by the explicit byte lengths (one NUL separator
+        # after each term) — splitting on NUL would corrupt terms that
+        # legally CONTAIN a NUL byte (the tokenizer only splits on spaces).
+        starts = np.zeros(n_terms, dtype=np.int64)
+        if n_terms:
+            np.cumsum(term_lens[:-1] + 1, out=starts[1:])
+        terms = [
+            blob_out[s : s + l].decode("utf-8")
+            for s, l in zip(starts.tolist(), term_lens.tolist())
+        ]
     finally:
         lib.psearch_free_result(res)
     return term_ids, counts, terms, term_lens

@@ -394,10 +394,12 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
 
     C = dix.CHUNK
     nc_bucket = _bucket_vec(nchunks, dix.NC_BUCKETS, 4)
-    # Entry-lane width cap: the z2o program's sort + lockstep scans compile
-    # pathologically past ~32k lanes, and the vectorized host lockstep
-    # (models/zero_to_one.py) is already fast — route huge queries there.
-    max_fl = 32768
+    # Entry-lane width cap: the z2o program's 7-operand sort + lockstep
+    # scans compile pathologically on the remote compiler past ~16k lanes
+    # (>25 min at 32k on a 50k-doc 2-field corpus), and the vectorized host
+    # lockstep (models/zero_to_one.py) is already fast — route big queries
+    # there.
+    max_fl = 16384
     huge = nc_bucket * C * max(dix.num_fields, 1) > max_fl
     if huge.any():
         metrics.inc("z2o_host_vectorized_queries", int(huge.sum()))

@@ -86,3 +86,26 @@ def test_bulk_empty_docs_and_empty_batch():
     assert list(ix.docs[0].field_length) == [0]
     assert list(ix.docs[1].field_length) == [3]
     assert ix.document_frequency("a") == 2
+
+
+def test_bulk_native_tokenizer_nul_in_term():
+    """A term legally CONTAINING a NUL byte (the tokenizer only splits on
+    spaces) must survive the native tokenize+intern path — the term blob is
+    NUL-separated, so reconstruction must slice by byte lengths, not split.
+    """
+    from probly_search_tpu import Index, bm25, whitespace_tokenizer
+
+    texts = ["a\x00b plain", "plain zz", "a\x00b a\x00b"]
+    bulk = Index(1)
+    bulk.add_documents_columnar([0, 1, 2], [texts])
+    seq = Index(1)
+    for i, t in enumerate(texts):
+        seq.add_document([lambda d: [d]], whitespace_tokenizer, i, t)
+
+    for q in ["a\x00b", "plain", "a"]:
+        got = bulk.query(q, bm25.new(), whitespace_tokenizer, [1.0])
+        want = seq.query(q, bm25.new(), whitespace_tokenizer, [1.0])
+        assert [(r.key, round(r.score, 10)) for r in got] == [
+            (r.key, round(r.score, 10)) for r in want
+        ], q
+    assert bulk.expand_term("a") == seq.expand_term("a")

@@ -1,0 +1,104 @@
+"""Randomized lifecycle parity fuzz.
+
+Each seed builds a random multi-field corpus, applies a random op sequence
+(bulk add, per-doc add, remove, re-add, vacuum, snapshot round-trip), then
+checks the batched device path against the exact f64 host oracle on random
+queries (exact terms, prefixes, multi-term, empty, unknown).  The targeted
+golden tests pin the reference semantics; this sweep hunts interaction
+bugs between mutation, segment merging, and the device planner.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from probly_search_tpu import Index, bm25, whitespace_tokenizer
+from probly_search_tpu.index.snapshot import load, save
+
+
+def _accessors(n_fields):
+    return [lambda d, f=f: [d[f]] for f in range(n_fields)]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_lifecycle_parity(seed, tmp_path):
+    rng = random.Random(seed)
+    n_fields = rng.choice([1, 1, 2, 3])
+    vocab = ["w%03d" % i for i in range(rng.choice([30, 120]))]
+    acc = _accessors(n_fields)
+
+    def make_doc():
+        return tuple(
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 7)))
+            for _ in range(n_fields)
+        )
+
+    ix = Index(n_fields)
+    next_key = 0
+    live = []
+
+    # Seed bulk load (exercises the native tokenizer + columnar pipeline).
+    n0 = rng.randint(5, 60)
+    docs0 = [make_doc() for _ in range(n0)]
+    ix.add_documents_columnar(
+        list(range(n0)), [[d[f] for d in docs0] for f in range(n_fields)]
+    )
+    live = list(range(n0))
+    next_key = n0
+
+    for _ in range(rng.randint(3, 10)):
+        op = rng.random()
+        if op < 0.45:
+            ix.add_document(acc, whitespace_tokenizer, next_key, make_doc())
+            live.append(next_key)
+            next_key += 1
+        elif op < 0.65 and live:
+            k = live.pop(rng.randrange(len(live)))
+            ix.remove_document(k)
+        elif op < 0.75 and live:
+            # re-add an existing key (documented remove-then-add semantics)
+            k = rng.choice(live)
+            ix.add_document(acc, whitespace_tokenizer, k, make_doc())
+        elif op < 0.85:
+            ix.vacuum()
+        else:
+            p = tmp_path / f"snap{seed}_{rng.randrange(1 << 30)}.npz"
+            save(ix, str(p))
+            ix = load(str(p))
+
+    boost = [round(rng.uniform(0.5, 2.0), 2) for _ in range(n_fields)]
+    queries = []
+    for _ in range(24):
+        r = rng.random()
+        if r < 0.5:
+            queries.append(
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3)))
+            )
+        elif r < 0.8:
+            queries.append(rng.choice(vocab)[: rng.randint(1, 3)])  # prefix
+        elif r < 0.9:
+            queries.append("zzznope")
+        else:
+            queries.append("")
+
+    dix = ix.device_index()
+    rows = dix.query_batch(queries, bm25.new(), fields_boost=boost, top_k=10)
+    for q, got in zip(queries, rows):
+        want = ix.query(q, bm25.new(), whitespace_tokenizer, boost, top_k=10)
+        gk = [g.key for g in got]
+        wk = [w.key for w in want]
+        if gk != wk:
+            # tie-order may differ legitimately: require identical score
+            # multisets and per-rank score equality
+            gs = [round(g.score, 5) for g in got]
+            ws = [round(w.score, 5) for w in want]
+            assert gs == ws and set(gk) == set(wk), (seed, q, got, want)
+        for g, w in zip(got, want):
+            assert abs(g.score - w.score) <= 2e-5 * max(1.0, abs(w.score)), (
+                seed,
+                q,
+                g,
+                w,
+            )
+        assert np.all(np.isfinite([g.score for g in got]))

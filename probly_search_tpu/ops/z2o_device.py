@@ -350,14 +350,55 @@ def plan_batch_z2o(dix, queries, tokenizer):
 _Z2O_STEP_CACHE = {}
 
 
-def _get_z2o_step():
-    fn = _Z2O_STEP_CACHE.get("step")
+def _z2o_window_step_impl(
+    rec, words_flat, qlen_flat, *, chunk, k, num_fields, class_specs
+):
+    """Every z2o shape class of a batch in ONE device program.
+
+    Mirrors the BM25 window step (index/device.py `_window_step_impl`):
+    one jit call over one packed job buffer, one packed [sum(b_out), 2, k]
+    result — the whole batch pays a single dispatch round trip and one
+    D2H fetch instead of one per class (the per-class sync path measured
+    ~1.3 ms/query of pure round-trip cost on the tunnel).
+    """
+    import jax.numpy as jnp
+
+    outs = []
+    off = 0
+    qoff = 0
+    for b_pad, b_out, nj, nc in class_specs:
+        n = b_pad * nj * 4
+        jobs = words_flat[off : off + n].reshape(b_pad, nj * 4)
+        off += n
+        ql = qlen_flat[qoff : qoff + b_pad]
+        qoff += b_pad
+        kk = min(k, nc * chunk * num_fields)
+        s, d = z2o_step(
+            chunk=chunk,
+            k=kk,
+            num_fields=num_fields,
+            num_chunks=nc,
+            rec=rec,
+            jobs_flat=jobs,
+            qlen=ql,
+        )
+        s = s[:b_out]
+        d = d[:b_out]
+        if kk < k:
+            s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+            d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=-1)
+        outs.append(jnp.stack([jax.lax.bitcast_convert_type(s, jnp.int32), d], axis=1))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _get_z2o_window_step():
+    fn = _Z2O_STEP_CACHE.get("window")
     if fn is None:
         fn = jax.jit(
-            z2o_step,
-            static_argnames=("chunk", "k", "num_fields", "num_chunks"),
+            _z2o_window_step_impl,
+            static_argnames=("chunk", "k", "num_fields", "class_specs"),
         )
-        _Z2O_STEP_CACHE["step"] = fn
+        _Z2O_STEP_CACHE["window"] = fn
     return fn
 
 
@@ -408,7 +449,13 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
                 dix._index, queries[int(qi)], tokenizer, top_k=k
             )
         nc_bucket = np.where(huge, -1, nc_bucket)
-    step = _get_z2o_step()
+    # Pack every class's job table + qlen vector into one flat buffer and
+    # run the batch as ONE device program with one packed result fetch.
+    class_specs = []
+    layout = []  # (query_indices, row_offset)
+    word_parts = []
+    qlen_parts = []
+    row = 0
     for nc in np.unique(nc_bucket[nc_bucket > 0]):
         nc = int(nc)
         members = np.flatnonzero((nc_bucket == nc) & (njobs > 0))
@@ -420,29 +467,42 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
             idxs = members[s : s + b_cap]
             Bc = len(idxs)
             B_pad = max(8, 1 << (Bc - 1).bit_length())
+            b_out = min(B_pad, -(-Bc // 256) * 256)
             jobs_flat = np.zeros((B_pad, nj, 4), dtype=np.int32)
             sel = np.isin(jquery, idxs)
             jq = jquery[sel]
             pos = _segment_arange(np.bincount(jq, minlength=B)[idxs])
-            row = np.searchsorted(idxs, jq)
-            jobs_flat[row, pos] = words[sel]
+            r = np.searchsorted(idxs, jq)
+            jobs_flat[r, pos] = words[sel]
             qlen_pad = np.ones(B_pad, np.float32)
             qlen_pad[:Bc] = qlen[idxs]
-            top_scores, top_docs = step(
-                chunk=C,
-                k=min(k, nc * C * dix.num_fields),
-                num_fields=dix.num_fields,
-                num_chunks=nc,
-                rec=dix.rec,
-                jobs_flat=jnp.asarray(jobs_flat.reshape(B_pad, nj * 4)),
-                qlen=jnp.asarray(qlen_pad),
-            )
-            ts = np.asarray(top_scores)[:Bc]
-            td = np.asarray(top_docs)[:Bc]
-            for qi, srow, drow in zip(idxs, ts, td):
-                results[int(qi)] = [
-                    QueryResult(key=dix.slot_to_key[int(d)], score=float(sc))
-                    for sc, d in zip(srow, drow)
-                    if d >= 0 and np.isfinite(sc)
-                ][:k]
+            word_parts.append(jobs_flat.reshape(-1))
+            qlen_parts.append(qlen_pad)
+            class_specs.append((B_pad, b_out, nj, nc))
+            layout.append((idxs, row))
+            row += b_out
+    if not class_specs:
+        return results
+    step = _get_z2o_window_step()
+    packed = step(
+        dix.rec,
+        jnp.asarray(np.concatenate(word_parts)),
+        jnp.asarray(np.concatenate(qlen_parts)),
+        chunk=C,
+        k=k,
+        num_fields=dix.num_fields,
+        class_specs=tuple(class_specs),
+    )
+    packed = np.asarray(packed)  # single D2H fetch drains the batch
+    p_scores = packed[:, 0, :].view(np.float32)
+    p_docs = packed[:, 1, :]
+    for idxs, r0 in layout:
+        ts = p_scores[r0 : r0 + len(idxs)]
+        td = p_docs[r0 : r0 + len(idxs)]
+        for qi, srow, drow in zip(idxs, ts, td):
+            results[int(qi)] = [
+                QueryResult(key=dix.slot_to_key[int(d)], score=float(sc))
+                for sc, d in zip(srow, drow)
+                if d >= 0 and np.isfinite(sc)
+            ][:k]
     return results

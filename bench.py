@@ -94,6 +94,9 @@ def main():
     # Timed: async submission with a depth-3 pipeline and a background
     # drain thread — the 1.3MB-per-window result fetch releases the GIL,
     # so it overlaps the next window's host planning AND device execution.
+    # The tunnel's throughput swings minute to minute, so three timed
+    # sections are sampled and the MEDIAN section is reported (all three
+    # go into the JSON for transparency).
     from concurrent.futures import ThreadPoolExecutor
 
     metrics.reset()
@@ -105,29 +108,35 @@ def main():
         lat_ms.append(1e3 * (time.perf_counter() - t_submit))
         results_box.append(out)
 
-    t5 = time.perf_counter()
-    n_total = 0
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        futs = []
-        for p in range(n_passes):
-            for w in windows:
-                h = dix.query_batch_async(w, scorer, top_k=top_k)
-                futs.append(pool.submit(drain, time.perf_counter(), h))
-                n_total += len(w)
-                if len(futs) >= pipeline_depth:
-                    futs.pop(0).result()
-        for f in futs:
-            f.result()
-    elapsed = time.perf_counter() - t5
+    def timed_section():
+        t5 = time.perf_counter()
+        n_total = 0
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            futs = []
+            for p in range(n_passes):
+                for w in windows:
+                    h = dix.query_batch_async(w, scorer, top_k=top_k)
+                    futs.append(pool.submit(drain, time.perf_counter(), h))
+                    n_total += len(w)
+                    if len(futs) >= pipeline_depth:
+                        futs.pop(0).result()
+            for f in futs:
+                f.result()
+        return n_total / (time.perf_counter() - t5)
+
+    sections = []
+    for s in range(3):
+        sections.append(timed_section())
+        log(f"timed section {s}: {sections[-1]:.0f} QPS")
+    qps = sorted(sections)[1]  # median of 3
     scores_out, slots_out, keys_out = results_box[-1]
     assert scores_out.shape == (window, top_k) and keys_out.shape == (window, top_k)
     assert (slots_out[0] >= 0).any()
     lat_ms = sorted(lat_ms)
-    qps = n_total / elapsed
     p50 = lat_ms[len(lat_ms) // 2]
     p99 = lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]
     log(
-        f"timed: {n_total} queries in {elapsed:.2f}s -> {qps:.0f} QPS; "
+        f"timed: median {qps:.0f} QPS over 3 sections; "
         f"window latency p50 {p50:.0f}ms p99 {p99:.0f}ms ({len(lat_ms)} windows)"
     )
     snap = metrics.snapshot()
@@ -161,6 +170,7 @@ def main():
                 "p99_window_ms": round(p99, 1),
                 "recall_at_10": round(recall, 4),
                 "window_size": window,
+                "qps_sections": [round(s, 1) for s in sections],
             }
         )
     )

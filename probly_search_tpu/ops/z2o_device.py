@@ -145,13 +145,20 @@ def z2o_step(
         jnp.minimum(s_e / tf_e, 1.0) * tf_e / jnp.maximum(flen_e, qlen[:, None, None])
     )
     contrib = jnp.where(mask, contrib, 0.0)
-    seq = jax.lax.broadcasted_iota(jnp.int32, (B, F, L), dimension=2)  # within field
 
     FL = F * L
-    ops = [a.reshape(B, FL) for a in (k1, -s_e, seq, q_e, n_e, tf_e, contrib)]
-    k1s, negs, _seqs, qs, ns, tfs, contribs = jax.lax.sort(
-        tuple(ops), dimension=1, num_keys=3
+    # Sort by (segment, score desc); lax.sort is STABLE (the default), so
+    # the enumeration order that the oracle's python sort preserves for
+    # ties needs no explicit sequence key.  qterm and node id pack into one
+    # word (qterm < 16, node id < NJ <= 2^16) — 5 sort operands, 2 keys,
+    # instead of the original 7/3.
+    qn = (q_e << 16) | n_e
+    ops = [a.reshape(B, FL) for a in (k1, -s_e, qn, tf_e, contrib)]
+    k1s, negs, qns, tfs, contribs = jax.lax.sort(
+        tuple(ops), dimension=1, num_keys=2
     )
+    qs = qns >> 16
+    ns = qns & 0xFFFF
 
     # --- segment structure ------------------------------------------------ #
     head = (k1s != _shift_right(k1s, -1)).astype(jnp.int32)  # [B, FL]

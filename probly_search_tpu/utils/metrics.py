@@ -119,7 +119,11 @@ def index_stats(index) -> Dict[str, float]:
     n_slots = index._next_slot
     live = len(index._docs)
     F = index.num_fields
-    hbm = (1 + 2 * F) * 4 * n_postings  # posting record array (device layout)
+    # Posting record array (device layout, index/device.py): doc slot +
+    # per-field tf + per-field length + liveness row, padded to the
+    # sublane multiple of 4.
+    rec_rows = -(-(1 + 2 * F) // 4) * 4
+    hbm = rec_rows * 4 * n_postings
     return {
         "docs_live": float(live),
         "doc_slots": float(n_slots),

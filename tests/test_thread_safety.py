@@ -58,8 +58,6 @@ def test_device_index_concurrent_plan_pool_growth():
     """Concurrent query_batch_async callers grow the term-plan pool under
     the plan lock; every thread must see consistent plans (parity with the
     host oracle) even when all terms are cache misses."""
-    import numpy as np
-
     from probly_search_tpu import Index, bm25, whitespace_tokenizer
 
     ix = Index(1)

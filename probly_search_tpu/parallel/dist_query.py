@@ -305,6 +305,12 @@ class ShardedDeviceIndex:
                 mesh=mesh,
                 in_specs=(P("docs", None, None), P("docs", "data", None), P(), P()),
                 out_specs=P("docs", "data", None, None, None),
+                # pallas_call inside shard_map cannot express per-output
+                # `vma` on its ShapeDtypeStructs, so the varying-mesh-axes
+                # checker must be off for the fused kernel to run per shard
+                # on real TPU backends (the CPU virtual mesh never takes
+                # the fused branch, which is why only hardware hits this).
+                check_vma=False,
             )
         )
         self._step_cache[key] = fn

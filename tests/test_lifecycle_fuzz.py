@@ -102,3 +102,56 @@ def test_lifecycle_parity(seed, tmp_path):
                 w,
             )
         assert np.all(np.isfinite([g.score for g in got]))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_lifecycle_parity_zero_to_one(seed, tmp_path):
+    """Same lifecycle sweep against the zero-to-one scorer: its device
+    program, host-vectorized fallback, and exact host path must agree
+    through mutations, vacuum, and snapshot cycles."""
+    from probly_search_tpu import zero_to_one
+
+    rng = random.Random(100 + seed)
+    n_fields = rng.choice([1, 2])
+    vocab = ["w%02d" % i for i in range(40)]
+    acc = _accessors(n_fields)
+
+    def make_doc():
+        return tuple(
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 5)))
+            for _ in range(n_fields)
+        )
+
+    ix = Index(n_fields)
+    n0 = rng.randint(10, 40)
+    docs0 = [make_doc() for _ in range(n0)]
+    ix.add_documents_columnar(
+        list(range(n0)), [[d[f] for d in docs0] for f in range(n_fields)]
+    )
+    live = list(range(n0))
+    for _ in range(rng.randint(2, 6)):
+        op = rng.random()
+        if op < 0.5:
+            k = n0 + rng.randrange(1000)
+            ix.add_document(acc, whitespace_tokenizer, k, make_doc())
+            live.append(k)
+        elif op < 0.7 and live:
+            ix.remove_document(live.pop(rng.randrange(len(live))))
+        elif op < 0.85:
+            ix.vacuum()
+        else:
+            p = tmp_path / f"z{seed}_{rng.randrange(1 << 30)}.npz"
+            save(ix, str(p))
+            ix = load(str(p))
+
+    queries = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 2)))
+        for _ in range(8)
+    ] + [rng.choice(vocab)[:2], ""]
+    rows = ix.query_batch(queries, zero_to_one.new(), top_k=10, backend="device")
+    for q, got in zip(queries, rows):
+        want = ix.query(q, zero_to_one.new(), whitespace_tokenizer, None, top_k=10)
+        gs = sorted(g.score for g in got)
+        ws = sorted(w.score for w in want)
+        assert len(gs) == len(ws), (seed, q, got, want)
+        assert all(abs(a - b) <= 2e-5 for a, b in zip(gs, ws)), (seed, q, got, want)

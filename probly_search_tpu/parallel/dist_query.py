@@ -440,3 +440,53 @@ class ShardedPendingBatch:
                         if g >= 0 and np.isfinite(s)
                     ]
         return results
+
+    def get_arrays(self, want_keys: bool = True):
+        """Raw columnar results — the serving surface (mirrors
+        ``PendingBatch.get_arrays``): ``(scores f32[n, k], slots int32[n, k],
+        keys[n, k])`` in query order; invalid entries carry score ``-inf``
+        (``slots`` is the GLOBAL doc slot).  Per-result Python object
+        construction costs more than the device round trip at large windows
+        (PERFORMANCE.md); multi-chip serving must drain through this.
+        """
+        from ..utils.metrics import metrics
+
+        sdix = self._sdix
+        with metrics.timer("sharded/drain"):
+            if self._packed is None:
+                k = sdix.config.default_top_k
+                scores = np.full((self._n, k), -np.inf, np.float32)
+                slots = np.full((self._n, k), -1, np.int32)
+            else:
+                packed = np.asarray(self._packed)[0]  # [d_ax, SB, 2, k]
+                k = packed.shape[-1]
+                p_scores = packed[:, :, 0, :].view(np.float32)
+                p_slots = packed[:, :, 1, :]
+                scores = np.full((self._n, k), -np.inf, np.float32)
+                slots = np.full((self._n, k), -1, np.int32)
+                for members, drow, dslot, row_base in self._layout:
+                    scores[members] = p_scores[drow, row_base + dslot]
+                    slots[members] = p_slots[drow, row_base + dslot]
+                slots = np.where(np.isfinite(scores), slots, -1)
+            keys = None
+            if want_keys:
+                karr = np.empty(len(sdix.slot_to_key), dtype=object)
+                karr[:] = sdix.slot_to_key
+                if sdix.slot_to_key and all(
+                    type(x) is int for x in sdix.slot_to_key
+                ):
+                    karr = np.asarray(sdix.slot_to_key, dtype=np.int64)
+                    keys = karr[np.clip(slots, 0, None)]
+                else:
+                    valid = slots >= 0
+                    keys = np.where(valid, karr[np.where(valid, slots, 0)], None)
+            if self._host_rows:
+                for qi, row in self._host_rows.items():
+                    m = min(len(row), scores.shape[1])
+                    scores[qi, :m] = [r.score for r in row[:m]]
+                    slots[qi, :] = -1
+                    if keys is not None:
+                        if keys.dtype == object:
+                            keys[qi, :] = None
+                        keys[qi, :m] = [r.key for r in row[:m]]
+        return scores, slots, keys

@@ -127,3 +127,23 @@ def test_sharded_host_fallback_in_batch():
     oracle0 = ix.query(big_q, bm25.new(), tokenizer, [1.0], top_k=5)
     assert [r.key for r in rows[0]] == [r.key for r in oracle0]
     assert len(rows[1]) == 5
+
+
+def test_sharded_get_arrays_columnar():
+    """The sharded columnar drain matches the object API row for row."""
+    import numpy as np
+
+    ix, qpool = _corpus_index(n=120, seed=5)
+    mesh = make_mesh(data=1, docs=8)
+    sdix = ShardedDeviceIndex(ix, mesh)
+    queries = [qpool[0], qpool[1][:2], "zzz", ""]
+    h = sdix.query_batch_async(queries, bm25.new(), top_k=5)
+    scores, slots, keys = h.get_arrays()
+    rows = sdix.query_batch(queries, bm25.new(), top_k=5)
+    for qi, row in enumerate(rows):
+        valid = np.isfinite(scores[qi])
+        assert int(valid.sum()) == len(row)
+        for j, r in enumerate(row):
+            assert keys[qi, j] == r.key
+            assert abs(scores[qi, j] - r.score) < 1e-6
+            assert slots[qi, j] >= 0

@@ -20,7 +20,7 @@ from typing import Any, List, Sequence
 import numpy as np
 
 from ..models.base import DocumentDetails
-from .segment import Segment
+from .segment import Segment, _unescape_one, escape_terms_fixed
 
 
 def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], tokenizer) -> None:
@@ -79,13 +79,15 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
         native_out = tokenize_index_native(list(field_texts[f])) if use_native else None
         if native_out is not None:
             occ_ids, lens, terms_f, _term_lens = native_out
-            table = np.asarray(terms_f, dtype=np.str_) if terms_f else np.zeros(0, np.str_)
+            # Escaped <U interning: plain conversion would strip trailing
+            # NULs and alias distinct terms (segment.escape_terms_fixed).
+            table = escape_terms_fixed(terms_f) if terms_f else np.zeros(0, np.str_)
         else:
             toks_per_doc = [[t for t in tokenizer(text) if t] for text in field_texts[f]]
             lens = np.fromiter((len(ts) for ts in toks_per_doc), dtype=np.int64, count=n_new)
             flat = [t for ts in toks_per_doc for t in ts]
             if flat:
-                table, occ_ids = np.unique(np.asarray(flat), return_inverse=True)
+                table, occ_ids = np.unique(escape_terms_fixed(flat), return_inverse=True)
             else:
                 table = np.zeros(0, np.str_)
                 occ_ids = np.zeros(0, np.int64)
@@ -179,7 +181,9 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
     offsets = np.zeros(T + 1, dtype=np.int64)
     np.cumsum(counts_per_term, out=offsets[1:])
 
-    terms = [str(t) for t in uniq]
+    # _unescape_one is the identity on tables that never needed escaping
+    # (clean tables contain no \x01 at all).
+    terms = [_unescape_one(str(t)) for t in uniq]
     seg = Segment(
         terms=terms,
         term_lens=np.fromiter(

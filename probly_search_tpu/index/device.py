@@ -435,11 +435,15 @@ class DeviceIndex:
         self.seg_live_cum: List[np.ndarray] = []  # cumulative live-occurrence
         # counts over each segment's postings — df for any posting range is
         # two lookups (df is static per snapshot; the device never sees it)
+        from .segment import escape_terms_fixed
+
         base = 0
         doc_parts, tf_parts = [], []
         alive0 = index._alive
         for seg in self.segments:
-            self.seg_terms.append(np.asarray(seg.terms, dtype=np.str_))
+            # Escaped <U tables: trailing-NUL terms must not alias under
+            # the fixed-width conversion (segment.escape_terms_fixed).
+            self.seg_terms.append(escape_terms_fixed(seg.terms))
             self.seg_term_lens.append(seg.term_lens)
             self.seg_offsets.append(seg.offsets)
             self.seg_base.append(base)
@@ -499,7 +503,7 @@ class DeviceIndex:
     # planning (host, vectorized)                                         #
     # ------------------------------------------------------------------ #
 
-    def _term_plans(self, uniq_terms: np.ndarray, scorer) -> None:
+    def _term_plans(self, uniq_terms: Sequence[str], scorer) -> None:
         """Compute + cache the per-term job plan for every term in
         ``uniq_terms`` not already cached.
 
@@ -529,10 +533,13 @@ class DeviceIndex:
         if not miss:
             return
         cfg = self.config
-        flat_terms = np.asarray(miss, dtype=np.str_)
+        from .segment import probe_terms_fixed
+
+        # Escaped probes paired with the escaped seg_terms tables; byte
+        # lengths are of the raw terms (probe_terms_fixed).
+        flat_terms, flat_blen = probe_terms_fixed(miss)
         M = len(flat_terms)
         flat_upper = np.char.add(flat_terms, _MAX_CHAR)
-        flat_blen = np.char.str_len(np.char.encode(flat_terms, "utf-8")).astype(np.int64)
 
         # Per segment: prefix ranges -> candidate jobs.  Each job carries
         # its live df (two lookups in the segment's live-occurrence cumsum;
@@ -658,11 +665,15 @@ class DeviceIndex:
         pool["chunks"] = np.concatenate([pool["chunks"], term_chunks])
         pool["over_cap"] = np.concatenate([pool["over_cap"], over_cap])
         # Rebuild the sorted probe arrays (miss-time only; steady-state
-        # planning never takes this path).
-        keys = np.asarray(list(ids.keys()), dtype=np.str_)
-        order = np.argsort(keys)
-        pool["sorted_terms"] = keys[order]
-        vals = np.fromiter((ids[k] for k in keys), dtype=np.int64, count=len(keys))
+        # planning never takes this path).  Probe arrays are escaped so
+        # trailing-NUL terms keep distinct identities (ids stay raw-keyed).
+        from .segment import escape_terms_fixed as _etf
+
+        keys_raw = list(ids.keys())
+        esc = _etf(keys_raw)
+        order = np.argsort(esc)
+        pool["sorted_terms"] = esc[order]
+        vals = np.fromiter((ids[k] for k in keys_raw), dtype=np.int64, count=len(keys_raw))
         pool["sorted_ids"] = vals[order]
 
     def plan_batch(self, queries: Sequence[str], tokenizer, scorer):
@@ -706,12 +717,14 @@ class DeviceIndex:
             p = np.minimum(np.searchsorted(st, flat_arr), len(st) - 1)
             return np.where(st[p] == flat_arr, pool["sorted_ids"][p], -1)
 
+        from .segment import escape_terms_fixed as _etf
+
         pool = self._plan_pools.get(_scorer_cache_key(scorer))
-        flat_arr = np.asarray(flat_terms, dtype=np.str_)
+        flat_arr = _etf(flat_terms)  # matches the escaped pool probe arrays
         tids = lookup(pool, flat_arr)
         if (tids < 0).any():  # cache misses: compute those term plans once
             miss = sorted({t for t, i in zip(flat_terms, tids) if i < 0})
-            self._term_plans(np.asarray(miss, dtype=np.str_), scorer)
+            self._term_plans(miss, scorer)
             pool = self._plan_pools[_scorer_cache_key(scorer)]
             tids = lookup(pool, flat_arr)
 

@@ -43,6 +43,66 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def _needs_escape(terms) -> bool:
+    # One join + two C-level scans beats a per-term python loop (probe
+    # batches reach ~50k terms per serving window).
+    s = "\x02".join(terms)
+    return "\x00" in s or "\x01" in s
+
+
+def _escape_one(t: str) -> str:
+    return t.replace("\x01", "\x01\x02").replace("\x00", "\x01\x01")
+
+
+def _unescape_one(t: str) -> str:
+    # "\x01\x01" substrings always align to escape-unit boundaries (a \x01
+    # only ever starts a unit), so pairwise left-to-right replace decodes.
+    return t.replace("\x01\x01", "\x00").replace("\x01\x02", "\x01")
+
+
+def escape_terms_list(terms):
+    """Order-preserving NUL escape, applied only when needed.
+
+    NumPy fixed-width unicode (``<U``) arrays treat trailing NULs as
+    padding, so two terms differing only by trailing ``\\x00`` would alias
+    after conversion (and their postings would merge).  The escape maps
+    ``\\x00 -> \\x01\\x01`` and ``\\x01 -> \\x01\\x02`` — an order-preserving,
+    prefix-preserving injection whose output never contains NUL, making the
+    ``<U`` conversion lossless.  For terms without ``\\x00``/``\\x01`` the
+    escape is the identity, so escaped tables and raw probes (or vice versa)
+    stay mutually consistent — each side applies the escape independently,
+    gated on a cheap containment check.
+    """
+    if _needs_escape(terms):
+        return [_escape_one(t) for t in terms]
+    return list(terms) if not isinstance(terms, list) else terms
+
+
+def escape_terms_fixed(terms) -> np.ndarray:
+    """``escape_terms_list`` + sorted-order-preserving ``<U`` conversion —
+    the safe way to build a vectorized (searchsorted-able) term table."""
+    return np.asarray(escape_terms_list(terms), dtype=np.str_)
+
+
+def probe_terms_fixed(terms):
+    """(escaped ``<U`` probe array, utf-8 byte length per term) for a list
+    of raw probe terms.  Byte lengths are always of the RAW terms (scoring
+    uses them); vectorized on the common no-escape path."""
+    if _needs_escape(terms):
+        blen = np.fromiter(
+            (len(t.encode("utf-8")) for t in terms), np.int64, count=len(terms)
+        )
+        arr = np.asarray([_escape_one(t) for t in terms], dtype=np.str_)
+    else:
+        arr = np.asarray(terms, dtype=np.str_)
+        blen = (
+            np.char.str_len(np.char.encode(arr, "utf-8")).astype(np.int64)
+            if len(terms)
+            else np.zeros(0, np.int64)
+        )
+    return arr, blen
+
+
 @dataclass
 class Segment:
     """One immutable sorted-term + CSR-postings segment."""
@@ -185,7 +245,13 @@ def merge_segments(
             post_occ=s.post_occ.copy(),
         )
 
-    seg_term_arrs = [np.asarray(s.terms, dtype=np.str_) for s in live_segs]
+    # Escaped interning: a plain <U conversion would alias terms differing
+    # only by trailing NULs and merge their postings (see escape_terms_list).
+    escaped = any(_needs_escape(s.terms) for s in live_segs)
+    seg_term_arrs = [
+        np.asarray([_escape_one(t) for t in s.terms] if escaped else s.terms, dtype=np.str_)
+        for s in live_segs
+    ]
     terms_g = np.unique(np.concatenate(seg_term_arrs))
     T = len(terms_g)
 
@@ -228,7 +294,7 @@ def merge_segments(
         offsets = np.concatenate(
             [np.zeros(1, np.int64), np.cumsum(counts[keep_t])]
         )
-    terms = [str(t) for t in terms_g]
+    terms = [_unescape_one(str(t)) if escaped else str(t) for t in terms_g]
     return Segment(
         terms=terms,
         term_lens=np.fromiter(

@@ -245,9 +245,10 @@ def plan_batch_z2o(dix, queries, tokenizer):
         return None, None, qlen, None, None, fallback
     flat_query = np.repeat(np.arange(B, dtype=np.int64), counts)
     flat_qterm = _segment_arange(counts)
-    flat_terms = np.asarray([t for toks in filt for t in toks], dtype=np.str_)
+    from ..index.segment import probe_terms_fixed
+
+    flat_terms, flat_blen = probe_terms_fixed([t for toks in filt for t in toks])
     flat_upper = np.char.add(flat_terms, _MAX_CHAR)
-    flat_blen = np.char.str_len(np.char.encode(flat_terms, "utf-8")).astype(np.int64)
 
     parts = []
     for si in range(len(dix.segments)):
@@ -334,6 +335,21 @@ def plan_batch_z2o(dix, queries, tokenizer):
     node_local_sorted = nid_sorted - qfirst[jquery[o2]]
     node_local = np.empty(len(jidx), np.int64)
     node_local[o2] = node_local_sorted
+
+    # The packed sort operand (q << 16 | node) recovers node ids with a
+    # 16-bit mask; a config with max_expansions large enough to mint >=2^16
+    # node ids per query would silently corrupt qterm/node recovery — route
+    # such queries to the host path like the other caps.
+    if node_local.max(initial=0) >= (1 << 16):
+        wide = np.unique(jquery[node_local >= (1 << 16)])
+        fallback.extend(int(q) for q in wide)
+        keepw = ~np.isin(jquery, wide)
+        jidx, jstart, jlen, jexp, jblen, jquery, node_local = (
+            a[keepw]
+            for a in (jidx, jstart, jlen, jexp, jblen, jquery, node_local)
+        )
+        if len(jidx) == 0:
+            return None, None, qlen, None, None, fallback
 
     # Entry score: 1 - |len(exp) - len(term)| / len(exp), byte lengths
     # (zero_to_one.rs:57-58); expansions never shorten, so always in (0, 1].

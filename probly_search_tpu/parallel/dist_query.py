@@ -70,7 +70,10 @@ class ShardedDeviceIndex:
         # the single-chip snapshot).
         gseg = merge_segments(index._segments, F)
         T = gseg.num_terms
-        self.terms = np.asarray(gseg.terms, dtype=np.str_)
+        from ..index.segment import escape_terms_fixed
+
+        # Escaped <U table (trailing-NUL terms must not alias; segment.py).
+        self.terms = escape_terms_fixed(gseg.terms)
         self.term_lens = gseg.term_lens.astype(np.int64)
         self.g_offsets = gseg.offsets.astype(np.int64)
 
@@ -170,8 +173,9 @@ class ShardedDeviceIndex:
             return None, fallback
         flat_query = np.repeat(np.arange(B, dtype=np.int64), counts)
         flat_qterm = _segment_arange(counts)
-        flat_terms = np.asarray([t for toks in tok_lists for t in toks], dtype=np.str_)
-        flat_blen = np.char.str_len(np.char.encode(flat_terms, "utf-8")).astype(np.int64)
+        from ..index.segment import probe_terms_fixed
+
+        flat_terms, flat_blen = probe_terms_fixed([t for toks in tok_lists for t in toks])
 
         lo = np.searchsorted(self.terms, flat_terms, side="left")
         hi = np.searchsorted(self.terms, np.char.add(flat_terms, _MAX_CHAR), side="left")
@@ -354,7 +358,7 @@ class ShardedDeviceIndex:
                 for qi in fallback
             }
         if planned is None:
-            return ShardedPendingBatch(self, B, None, None, host_rows)
+            return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
         jquery, words, max_chunks, njobs = planned
         n = self.n_shards
         d_ax = int(self.mesh.shape["data"])
@@ -389,7 +393,7 @@ class ShardedDeviceIndex:
                 layout.append((members, drow, dslot, row_base))
                 row_base += b_pad
             if not class_specs:
-                return ShardedPendingBatch(self, B, None, None, host_rows)
+                return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
             buf = np.stack(
                 [np.concatenate(parts, axis=1) for parts in flat_parts]
             )  # [n, d_ax, total_words]
@@ -403,42 +407,41 @@ class ShardedDeviceIndex:
                 self.field_avg,
                 jnp.asarray(np.asarray(fields_boost, dtype=np.float32)),
             )
-        return ShardedPendingBatch(self, B, packed, layout, host_rows)
+        return ShardedPendingBatch(self, B, packed, layout, host_rows, k=k)
 
 
 class ShardedPendingBatch:
     """Handle for an in-flight sharded query window."""
 
-    def __init__(self, sdix, n, packed, layout, host_rows=None) -> None:
+    def __init__(self, sdix, n, packed, layout, host_rows=None, k=None) -> None:
         self._sdix = sdix
         self._n = n
         self._packed = packed  # [n_shards, d_ax, SB, 2, k] (replicated over docs)
         self._layout = layout
         self._host_rows = host_rows
+        # The submitted top_k: sizes the all-host-fallback result arrays
+        # (get_arrays must agree with get() when top_k != default_top_k).
+        self._k = k if k is not None else sdix.config.default_top_k
 
     def get(self) -> List[List[QueryResult]]:
-        from ..utils.metrics import metrics
-
+        """QueryResult rows, assembled through the columnar drain (nested
+        per-member Python loops measured slower than the whole device round
+        trip at large windows — PERFORMANCE.md)."""
+        scores, slots, keys = self.get_arrays()
         results: List[List[QueryResult]] = [[] for _ in range(self._n)]
-        if self._host_rows:
-            for qi, row in self._host_rows.items():
-                results[qi] = row
-        if self._packed is None:
-            return results
-        sdix = self._sdix
-        with metrics.timer("sharded/drain"):
-            packed = np.asarray(self._packed)[0]  # [d_ax, SB, 2, k]
-            scores = packed[:, :, 0, :].view(np.float32)
-            docs = packed[:, :, 1, :]
-            for members, drow, dslot, row_base in self._layout:
-                for m, r, sl in zip(members, drow, dslot):
-                    vr = scores[r, row_base + sl]
-                    dr = docs[r, row_base + sl]
-                    results[int(m)] = [
-                        QueryResult(key=sdix.slot_to_key[int(g)], score=float(s))
-                        for s, g in zip(vr, dr)
-                        if g >= 0 and np.isfinite(s)
-                    ]
+        valid = np.isfinite(scores)
+        obj_keys = keys.dtype == object if keys is not None else False
+        for qi in range(self._n):
+            if self._host_rows and qi in self._host_rows:
+                results[qi] = self._host_rows[qi]
+                continue
+            m = valid[qi]
+            if not m.any():
+                continue
+            results[qi] = [
+                QueryResult(key=kk if obj_keys else int(kk), score=float(s))
+                for s, kk in zip(scores[qi][m], keys[qi][m])
+            ]
         return results
 
     def get_arrays(self, want_keys: bool = True):
@@ -454,7 +457,7 @@ class ShardedPendingBatch:
         sdix = self._sdix
         with metrics.timer("sharded/drain"):
             if self._packed is None:
-                k = sdix.config.default_top_k
+                k = self._k
                 scores = np.full((self._n, k), -np.inf, np.float32)
                 slots = np.full((self._n, k), -1, np.int32)
             else:
@@ -470,14 +473,16 @@ class ShardedPendingBatch:
                 slots = np.where(np.isfinite(scores), slots, -1)
             keys = None
             if want_keys:
-                karr = np.empty(len(sdix.slot_to_key), dtype=object)
-                karr[:] = sdix.slot_to_key
-                if sdix.slot_to_key and all(
-                    type(x) is int for x in sdix.slot_to_key
-                ):
+                if not sdix.slot_to_key:
+                    # Empty index: every slot is -1; an eager gather on a
+                    # zero-length key array would IndexError.
+                    keys = np.full(slots.shape, None, dtype=object)
+                elif all(type(x) is int for x in sdix.slot_to_key):
                     karr = np.asarray(sdix.slot_to_key, dtype=np.int64)
                     keys = karr[np.clip(slots, 0, None)]
                 else:
+                    karr = np.empty(len(sdix.slot_to_key), dtype=object)
+                    karr[:] = sdix.slot_to_key
                     valid = slots >= 0
                     keys = np.where(valid, karr[np.where(valid, slots, 0)], None)
             if self._host_rows:

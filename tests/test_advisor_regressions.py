@@ -158,3 +158,117 @@ class TestBulkIntraBatchDuplicates:
         assert ix.query("mid", bm25.new(), whitespace_tokenizer, [1.0]) == []
         assert [r.key for r in ix.query("new", bm25.new(), whitespace_tokenizer, [1.0])] == ["a"]
         assert [r.key for r in ix.query("bee", bm25.new(), whitespace_tokenizer, [1.0])] == ["b"]
+
+
+# --------------------------------------------------------------------- #
+# Round-2 advisor findings                                               #
+# --------------------------------------------------------------------- #
+
+
+def _nul_tokenizer(s):
+    return s.split("|")
+
+
+class TestTrailingNulTermIdentity:
+    """Fixed-width (<U) numpy interning strips trailing NULs; terms
+    differing only by trailing NULs must keep distinct postings through
+    segment merges, bulk ingest, and the device planner (escape_terms_fixed)."""
+
+    def _index(self, config=None):
+        ix = Index(1, config=config)
+        ix.add_document([_one], _nul_tokenizer, 0, "a")
+        ix.add_document([_one], _nul_tokenizer, 1, "a\x00")
+        ix.add_document([_one], _nul_tokenizer, 2, "a|a\x00")
+        return ix
+
+    def test_merge_segments_keeps_nul_terms_distinct(self):
+        from probly_search_tpu.config import IndexConfig
+        from probly_search_tpu.index.segment import merge_segments
+
+        # Force per-add flush + eager merge so merge_segments runs.
+        cfg = IndexConfig(pending_flush_docs=1, max_segments=1)
+        ix = self._index(cfg)
+        ix._flush_pending()
+        assert ix.terms() == ["a", "a\x00"]
+        # Direct unit check too.
+        merged = merge_segments(ix._segments, 1)
+        assert merged.terms == ["a", "a\x00"]
+        # "a" prefix-expands to both terms; "a\x00" matches only itself.
+        ra = ix.query("a", bm25.new(), _nul_tokenizer, [1.0])
+        rb = ix.query("a\x00", bm25.new(), _nul_tokenizer, [1.0])
+        assert sorted(r.key for r in ra) == [0, 1, 2]
+        assert sorted(r.key for r in rb) == [1, 2]
+
+    def test_device_planner_matches_host_on_nul_terms(self):
+        ix = self._index()
+        for q in ("a", "a\x00", "a|a\x00"):
+            host = ix.query(q, bm25.new(), _nul_tokenizer, [1.0])
+            dev = ix.query_batch([q], bm25.new(), _nul_tokenizer, top_k=10)[0]
+            assert [r.key for r in dev] == [r.key for r in host], repr(q)
+            for h, d in zip(host, dev):
+                assert abs(h.score - d.score) < 2e-5 * max(1.0, abs(h.score))
+
+    def test_bulk_python_path_keeps_nul_terms_distinct(self):
+        ix = Index(1)
+        ix.add_documents_columnar([0, 1, 2], [["a", "a\x00", "a|a\x00"]],
+                                  tokenizer=_nul_tokenizer)
+        assert ix.terms() == ["a", "a\x00"]
+        rb = ix.query("a\x00", bm25.new(), _nul_tokenizer, [1.0])
+        assert sorted(r.key for r in rb) == [1, 2]
+
+    def test_escape_round_trip_and_order(self):
+        from probly_search_tpu.index.segment import (
+            _escape_one,
+            _unescape_one,
+            escape_terms_fixed,
+        )
+
+        terms = ["a", "a\x00", "a\x00\x00", "a\x01", "a\x01\x01", "ab", "a\x00b"]
+        for t in terms:
+            assert _unescape_one(_escape_one(t)) == t
+        esc = escape_terms_fixed(terms)
+        # Order-preserving: sorting escaped == sorting raw.
+        raw_sorted = sorted(terms)
+        esc_sorted_unescaped = [_unescape_one(str(t)) for t in np.sort(esc)]
+        assert esc_sorted_unescaped == raw_sorted
+        # Lossless through the <U conversion.
+        assert [_unescape_one(str(t)) for t in esc] == terms
+
+
+class TestShardedDrainRegressions:
+    def _mesh(self):
+        import jax
+
+        from probly_search_tpu.parallel import make_mesh
+
+        return make_mesh(data=1, docs=4, devices=jax.devices()[:4])
+
+    def test_empty_index_get_arrays(self):
+        from probly_search_tpu.parallel import ShardedDeviceIndex
+
+        ix = Index(1)
+        sdix = ShardedDeviceIndex(ix, self._mesh())
+        pending = sdix.query_batch_async(["alpha"], bm25.new())
+        scores, slots, keys = pending.get_arrays()
+        assert scores.shape == slots.shape
+        assert not np.isfinite(scores).any()
+        assert (slots == -1).all()
+        assert pending.get() == [[]]
+
+    def test_all_fallback_respects_top_k(self):
+        from probly_search_tpu.config import IndexConfig
+        from probly_search_tpu.parallel import ShardedDeviceIndex
+
+        cfg = IndexConfig(max_query_terms=2)
+        ix = Index(1, config=cfg)
+        for i in range(4):
+            ix.add_document([_one], whitespace_tokenizer, i, "x y z w")
+        sdix = ShardedDeviceIndex(ix, self._mesh())
+        # 3 terms > max_query_terms=2 -> whole batch is host fallback.
+        pending = sdix.query_batch_async(["x y z"], bm25.new(), top_k=25)
+        scores, slots, keys = pending.get_arrays()
+        assert scores.shape == (1, 25)
+        rows = pending.get()
+        assert len(rows[0]) == 4
+        host = ix.query("x y z", bm25.new(), whitespace_tokenizer, [1.0], top_k=25)
+        assert [r.key for r in rows[0]] == [r.key for r in host]

@@ -31,7 +31,12 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
       keys: document keys, one per doc; keys already present are removed
         first (same semantics as ``add_document`` re-add).
       field_texts: ``field_texts[f][d]`` is the text of field ``f`` for doc
-        ``d`` (one value per field, the common case).
+        ``d`` — either one string (the common case) or a sequence of strings
+        for multi-valued fields (the ``Vec<&str>`` accessor shape,
+        index.rs:90-96).  Multi-value cells reproduce the reference's exact
+        bookkeeping: term frequencies accumulate across values, ``sum`` adds
+        every value's token count, but ``field_length`` is overwritten per
+        value and ends at the LAST value's count (index.rs:112-114).
       tokenizer: the usual callable; empty tokens filtered (index.rs:100-110).
     """
     F = index._num_fields
@@ -74,17 +79,46 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
     per_field_occ: List[np.ndarray] = []  # field-local sorted-table ids per occurrence
     per_field_table: List[np.ndarray] = []  # field-local sorted term tables
     per_field_docrep: List[np.ndarray] = []
-    field_len_cols: List[np.ndarray] = []
+    field_len_cols: List[np.ndarray] = []  # field_length: LAST value's count
+    field_tot_cols: List[np.ndarray] = []  # total tokens over ALL values
     for f in range(F):
-        native_out = tokenize_index_native(list(field_texts[f])) if use_native else None
+        col = field_texts[f]
+        multi = any(not isinstance(x, str) for x in col)
+        native_out = (
+            tokenize_index_native(list(col)) if use_native and not multi else None
+        )
         if native_out is not None:
             occ_ids, lens, terms_f, _term_lens = native_out
             # Escaped <U interning: plain conversion would strip trailing
             # NULs and alias distinct terms (segment.escape_terms_fixed).
             table = escape_terms_fixed(terms_f) if terms_f else np.zeros(0, np.str_)
+            tots = lens
         else:
-            toks_per_doc = [[t for t in tokenizer(text) if t] for text in field_texts[f]]
-            lens = np.fromiter((len(ts) for ts in toks_per_doc), dtype=np.int64, count=n_new)
+            if multi:
+                # Normalize cells to value lists; tokenize per value so the
+                # per-value bookkeeping (last-value field_length) is exact.
+                vals_per_doc = [
+                    [cell] if isinstance(cell, str) else list(cell) for cell in col
+                ]
+                toks_per_doc = []
+                lens = np.zeros(n_new, dtype=np.int64)
+                tots = np.zeros(n_new, dtype=np.int64)
+                for d, vals in enumerate(vals_per_doc):
+                    toks: List[str] = []
+                    last = 0
+                    for v in vals:
+                        vt = [t for t in tokenizer(v) if t]
+                        toks.extend(vt)
+                        last = len(vt)
+                    toks_per_doc.append(toks)
+                    lens[d] = last if vals else 0
+                    tots[d] = len(toks)
+            else:
+                toks_per_doc = [[t for t in tokenizer(text) if t] for text in col]
+                lens = np.fromiter(
+                    (len(ts) for ts in toks_per_doc), dtype=np.int64, count=n_new
+                )
+                tots = lens
             flat = [t for ts in toks_per_doc for t in ts]
             if flat:
                 table, occ_ids = np.unique(escape_terms_fixed(flat), return_inverse=True)
@@ -93,8 +127,11 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
                 occ_ids = np.zeros(0, np.int64)
         per_field_occ.append(np.asarray(occ_ids, dtype=np.int64))
         per_field_table.append(table)
-        per_field_docrep.append(np.repeat(np.arange(n_new, dtype=np.int64), lens))
+        per_field_docrep.append(
+            np.repeat(np.arange(n_new, dtype=np.int64), np.asarray(tots, np.int64))
+        )
         field_len_cols.append(np.asarray(lens, dtype=np.int64))
+        field_tot_cols.append(np.asarray(tots, dtype=np.int64))
 
     field_length = (
         np.stack(field_len_cols, axis=1) if F else np.zeros((n_new, 0), dtype=np.int64)
@@ -128,7 +165,11 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
     n_docs_after = len(index._docs)
     for f in range(F):
         fd = index._fields[f]
-        fd.sum += int(field_len_cols[f][is_last].sum())
+        # Sequential end-state: every add contributes its TOTAL token count
+        # (one += per value, index.rs:112-114); each intra-batch duplicate's
+        # earlier occurrence is then removed, which subtracts only its
+        # (last-value) field_length (index.rs:175-185).
+        fd.sum += int(field_tot_cols[f].sum()) - int(field_len_cols[f][~is_last].sum())
         fd.avg = fd.sum / float(n_docs_after)
 
     # --- merge field-local term tables into one global sorted table -------

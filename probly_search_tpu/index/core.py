@@ -121,6 +121,11 @@ class Index:
         # Monotonic version for device-side cache invalidation.
         self._version = 0
         self._device_cache = None
+        # Multi-chip serving: an attached mesh routes query_batch through
+        # the doc-sharded SPMD engine; the sharded snapshot is cached with
+        # the same (version, chunk_size) invalidation as device_index().
+        self._mesh = None
+        self._sharded_cache = None
 
         # Host-side concurrency: a re-entrant lock guards every public
         # entry point.  The reference is single-threaded and only proves
@@ -438,15 +443,32 @@ class Index:
                 "device scorer protocol; use backend='exact'"
             )
         if backend in ("auto", "device") and (device_capable or device_two_phase):
+            # Multi-chip routing: an attached mesh serves the batch through
+            # the doc-sharded SPMD engine (scorers with the one-phase device
+            # protocol; the two-phase z2o program is single-chip for now).
+            if self._mesh is not None and device_capable:
+                return self.sharded_index().query_batch(
+                    queries, score_calculator, tokenizer, fields_boost, top_k=k
+                )
             try:
                 dix = self.device_index()
             except ValueError:
-                if backend == "device":
-                    raise
-                # e.g. doc slots exceed single-chip merge-key capacity:
-                # degrade to the exact host path (or shard via parallel/).
                 from ..utils.metrics import metrics
 
+                # Doc slots exceed the single-chip merge-key capacity.
+                # With more than one device visible, auto-shard over them
+                # (the capacity scales with the shard count); otherwise
+                # degrade to the exact host path.
+                if device_capable:
+                    import jax
+
+                    if len(jax.devices()) > 1:
+                        metrics.inc("auto_sharded_batches")
+                        return self.sharded_index().query_batch(
+                            queries, score_calculator, tokenizer, fields_boost, top_k=k
+                        )
+                if backend == "device":
+                    raise
                 metrics.inc("device_snapshot_fallbacks")
             else:
                 if device_two_phase:
@@ -484,6 +506,42 @@ class Index:
         ):
             self._device_cache = DeviceIndex(self)
         return self._device_cache
+
+    def attach_mesh(self, mesh) -> None:
+        """Serve ``query_batch`` through the doc-sharded SPMD engine over
+        ``mesh`` (a ``("data", "docs")`` mesh; ``parallel.make_mesh``).
+        Pass ``None`` to detach and return to single-chip serving."""
+        with self._lock:
+            self._mesh = mesh
+            self._sharded_cache = None
+
+    def sharded_index(self, mesh=None):
+        """Doc-sharded device snapshot over the attached (or given) mesh,
+        cached until the index mutates or the snapshot-shaping config
+        changes — the multi-chip mirror of :meth:`device_index`.  With no
+        mesh attached, builds a default one over every visible device."""
+        from ..parallel.dist_query import ShardedDeviceIndex
+        from ..parallel.mesh import make_mesh
+
+        if mesh is None:
+            mesh = self._mesh
+        if mesh is None:
+            # Auto-provision over every visible device and remember it so
+            # the snapshot cache can hit on later calls.
+            mesh = self._mesh = make_mesh(data=1)
+        self._flush_pending()
+        want_chunk = int(
+            getattr(self.config, "chunk_size", 0) or ShardedDeviceIndex.CHUNK
+        )
+        c = self._sharded_cache
+        if (
+            c is None
+            or c.version != self._version
+            or c.CHUNK != want_chunk
+            or c.mesh is not mesh
+        ):
+            self._sharded_cache = ShardedDeviceIndex(self, mesh)
+        return self._sharded_cache
 
     def expand_term(self, term: str) -> List[str]:
         """All completions of ``term`` that carry at least one posting
@@ -594,6 +652,7 @@ for _name in (
     "query",
     "query_batch",
     "device_index",
+    "sharded_index",
     "expand_term",
     "terms",
     "document_frequency",

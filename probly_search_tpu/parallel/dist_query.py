@@ -218,23 +218,38 @@ class ShardedDeviceIndex:
         scale = scorer.device_term_scale(jdf, self.n_docs, boost)
 
         # Per-shard job words (same job order on every shard, so one static
-        # class layout serves the whole mesh).
-        NJOBS = len(tid)
-        words = np.empty((n, NJOBS, 3), dtype=np.int32)
+        # class layout serves the whole mesh).  Jobs whose per-shard posting
+        # list exceeds the packed-length capacity are SPLIT into parts
+        # (mirroring the single-chip planner, index/device.py); the split
+        # count is the max over shards so the job table stays rectangular —
+        # shorter shards get zero-length tail parts (zero chunks, harmless).
         meta1 = (flat_qterm[jidx] << _LEN_BITS).astype(np.int64)
+        starts_all = self.offsets_sh[:, tid]  # [n, J]
+        lens_all = (self.offsets_sh[:, tid + 1] - starts_all).astype(np.int64)
+        nsplit = np.maximum(
+            1, (lens_all.max(axis=0) + _MAX_JOB_LEN - 1) // _MAX_JOB_LEN
+        )
+        if (nsplit > 1).any():
+            sj = np.repeat(np.arange(len(tid), dtype=np.int64), nsplit)
+            si = _segment_arange(nsplit)
+            starts_all = starts_all[:, sj] + si[None, :] * _MAX_JOB_LEN
+            lens_all = np.clip(
+                lens_all[:, sj] - si[None, :] * _MAX_JOB_LEN, 0, _MAX_JOB_LEN
+            )
+            jquery = jquery[sj]
+            meta1 = meta1[sj]
+            scale = scale[sj]
+        NJOBS = lens_all.shape[1]
+        words = np.empty((n, NJOBS, 3), dtype=np.int32)
+        words[:, :, 0] = starts_all
+        words[:, :, 1] = lens_all | meta1[None, :]
+        words[:, :, 2] = scale.view(np.int32)[None, :]
         max_chunks = np.zeros(B, dtype=np.int64)
         CP = C - 128
+        chunks_all = (lens_all + CP - 1) // CP  # [n, NJOBS]
         for s in range(n):
-            offs = self.offsets_sh[s]
-            start = offs[tid]
-            length = offs[tid + 1] - offs[tid]
-            if length.max(initial=0) > _MAX_JOB_LEN:
-                raise ValueError("per-shard posting list exceeds packed job length")
-            words[s, :, 0] = start
-            words[s, :, 1] = length | meta1
-            words[s, :, 2] = scale.view(np.int32)
             nch = np.bincount(
-                jquery, weights=((length + CP - 1) // CP).astype(np.float64), minlength=B
+                jquery, weights=chunks_all[s].astype(np.float64), minlength=B
             )
             np.maximum(max_chunks, nch.astype(np.int64), out=max_chunks)
         njobs = np.bincount(jquery, minlength=B)

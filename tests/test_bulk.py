@@ -109,3 +109,67 @@ def test_bulk_native_tokenizer_nul_in_term():
             (r.key, round(r.score, 10)) for r in want
         ], q
     assert bulk.expand_term("a") == seq.expand_term("a")
+
+
+class TestBulkMultiValueFields:
+    """Multi-valued field cells (the Vec<&str> accessor shape,
+    index.rs:90-96) must reproduce sequential add_document end-state,
+    including the last-value field_length quirk (index.rs:112-114)."""
+
+    def test_multi_value_matches_sequential(self):
+        from probly_search_tpu import Index, bm25, whitespace_tokenizer
+
+        cells = [
+            ["red apple", "green pear plum"],
+            "single value here",
+            ["one"],
+            [],
+            ["alpha beta", "gamma", "alpha delta eps"],
+        ]
+        body = ["b0 red", "b1", "b2 one", "b3", "b4 gamma"]
+
+        bulk = Index(2)
+        bulk.add_documents_columnar(list(range(5)), [cells, body])
+
+        seq = Index(2)
+        for i in range(5):
+            vals = cells[i] if not isinstance(cells[i], str) else [cells[i]]
+            seq.add_document(
+                [lambda d, v=vals: v, lambda d, i=i: [body[i]]],
+                whitespace_tokenizer,
+                i,
+                None,
+            )
+
+        assert bulk.fields[0].sum == seq.fields[0].sum
+        assert bulk.fields[0].avg == seq.fields[0].avg
+        assert bulk.fields[1].sum == seq.fields[1].sum
+        for k in range(5):
+            assert list(bulk.docs[k].field_length) == list(seq.docs[k].field_length)
+        assert bulk.terms() == seq.terms()
+        for q in ("alpha", "red", "gamma", "one", "b4"):
+            got = bulk.query(q, bm25.new(), whitespace_tokenizer, [1.0, 1.0])
+            want = seq.query(q, bm25.new(), whitespace_tokenizer, [1.0, 1.0])
+            assert [(r.key, round(r.score, 10)) for r in got] == [
+                (r.key, round(r.score, 10)) for r in want
+            ], q
+
+    def test_multi_value_duplicate_keys(self):
+        from probly_search_tpu import Index, bm25, whitespace_tokenizer
+
+        bulk = Index(1)
+        bulk.add_documents_columnar(
+            ["k", "k"], [[["old one two", "old three"], ["new single"]]]
+        )
+        seq = Index(1)
+        seq.add_document(
+            [lambda d: ["old one two", "old three"]], whitespace_tokenizer, "k", None
+        )
+        seq.add_document([lambda d: ["new single"]], whitespace_tokenizer, "k", None)
+        assert bulk.fields[0].sum == seq.fields[0].sum
+        assert bulk.fields[0].avg == seq.fields[0].avg
+        got = bulk.query("new", bm25.new(), whitespace_tokenizer, [1.0])
+        want = seq.query("new", bm25.new(), whitespace_tokenizer, [1.0])
+        assert [(r.key, round(r.score, 10)) for r in got] == [
+            (r.key, round(r.score, 10)) for r in want
+        ]

@@ -147,3 +147,78 @@ def test_sharded_get_arrays_columnar():
             assert keys[qi, j] == r.key
             assert abs(scores[qi, j] - r.score) < 1e-6
             assert slots[qi, j] >= 0
+
+
+def test_long_jobs_split_instead_of_raise(monkeypatch):
+    """A term whose per-shard posting list exceeds the packed job length is
+    split into parts (mirroring index/device.py), not rejected."""
+    from probly_search_tpu.parallel import dist_query
+
+    monkeypatch.setattr(dist_query, "_MAX_JOB_LEN", 8)
+    ix = Index(1)
+    for i in range(200):  # per-shard ~25 postings for "tt" > 8
+        ix.add_document([title_extract], tokenizer, i, Doc(id=i, title="tt xx" if i % 2 else "tt"))
+    mesh = make_mesh(data=1, docs=8)
+    sdix = ShardedDeviceIndex(ix, mesh)
+    queries = ["tt", "tt xx", "xx"]
+    rows = sdix.query_batch(queries, bm25.new(), top_k=10)
+    for q, sh in zip(queries, rows):
+        full = {r.key: r.score for r in ix.query(q, bm25.new(), tokenizer, [1.0])}
+        top10 = sorted(ix.query(q, bm25.new(), tokenizer, [1.0], top_k=10),
+                       key=lambda r: -r.score)
+        assert len(sh) == len(top10)
+        # Same score profile (ties may resolve to different members)...
+        for a, b in zip(sh, top10):
+            assert abs(a.score - b.score) < 1e-5 * max(1.0, abs(b.score))
+        # ...and every returned key carries its own oracle score.
+        for a in sh:
+            assert abs(a.score - full[a.key]) < 1e-5 * max(1.0, abs(full[a.key]))
+
+
+class TestUnifiedRouting:
+    def test_attach_mesh_routes_query_batch(self):
+        ix, queries = _corpus_index(n=120, seed=9)
+        mesh = make_mesh(data=2, docs=4)
+        ix.attach_mesh(mesh)
+        rows = ix.query_batch(queries[:6], bm25.new(), tokenizer, top_k=10)
+        oracle = [ix.query(q, bm25.new(), tokenizer, [1.0], top_k=10) for q in queries[:6]]
+        for sh, orc in zip(rows, oracle):
+            assert len(sh) == len(orc)
+            for a, b in zip(sh, orc):
+                assert abs(a.score - b.score) < 1e-5 * max(1.0, abs(b.score))
+        # detach: back to single-chip serving
+        ix.attach_mesh(None)
+        rows2 = ix.query_batch(queries[:2], bm25.new(), tokenizer, top_k=10)
+        assert len(rows2) == 2
+
+    def test_sharded_snapshot_cache_and_invalidation(self):
+        ix, _ = _corpus_index(n=60, seed=11)
+        mesh = make_mesh(data=1, docs=8)
+        ix.attach_mesh(mesh)
+        s1 = ix.sharded_index()
+        assert ix.sharded_index() is s1  # cache hit, no rebuild
+        victim = next(iter(ix.docs))
+        ix.remove_document(victim)
+        s2 = ix.sharded_index()
+        assert s2 is not s1  # mutation invalidates
+        rows = ix.query_batch(["a"], bm25.new(), tokenizer, top_k=50)
+        assert all(r.key != victim for r in rows[0])
+
+    def test_capacity_overflow_autoshards(self, monkeypatch):
+        from probly_search_tpu.index.core import Index as CoreIndex
+
+        ix, queries = _corpus_index(n=80, seed=13)
+
+        def boom(self):
+            raise ValueError("doc slots exceed the packed int32 merge-key capacity")
+
+        monkeypatch.setattr(CoreIndex, "device_index", boom)
+        rows = ix.query_batch(queries[:3], bm25.new(), tokenizer, top_k=10)
+        oracle = [ix.query(q, bm25.new(), tokenizer, [1.0], top_k=10) for q in queries[:3]]
+        for sh, orc in zip(rows, oracle):
+            assert len(sh) == len(orc)
+            for a, b in zip(sh, orc):
+                assert abs(a.score - b.score) < 1e-5 * max(1.0, abs(b.score))
+        from probly_search_tpu.utils.metrics import metrics
+
+        assert metrics.counters["auto_sharded_batches"] >= 1

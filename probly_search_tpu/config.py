@@ -28,10 +28,12 @@ class IndexConfig:
     max_segments: int = 8
 
     # --- device / TPU knobs -------------------------------------------------
-    # Max expansions considered per query term on the device path (the exact
-    # host path has no cap, matching the reference; over-cap queries degrade
-    # to the host path per query).
-    max_expansions: int = 64
+    # Max expansions per query term admitted to the device job path.
+    # 0 = uncapped (the default, matching the reference's uncapped trie
+    # DFS): expansion-heavy queries (single-char prefixes) tile through the
+    # device job machinery like any other query.  A positive value routes
+    # over-cap queries to the scorer's vectorized host path instead.
+    max_expansions: int = 0
     # Max query terms per query on the device path.
     max_query_terms: int = 16
     # Compute dtype on device (scores); the host oracle path is always f64.

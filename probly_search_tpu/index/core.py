@@ -483,10 +483,13 @@ class Index:
                     queries, score_calculator, tokenizer, fields_boost, top_k=k
                 )
         # Host fallback: vectorized execution when the scorer provides it
-        # (zero-to-one's lockstep finalize), else the exact per-posting path.
+        # (BM25 and zero-to-one both do), else the exact per-posting path.
         vq = getattr(score_calculator, "vectorized_query", None)
         if backend == "auto" and vq is not None:
-            return [vq(self, q, tokenizer, top_k=k) for q in queries]
+            return [
+                vq(self, q, tokenizer, top_k=k, fields_boost=fields_boost)
+                for q in queries
+            ]
         return [
             self.query(q, score_calculator, tokenizer, fields_boost, top_k=k)
             for q in queries

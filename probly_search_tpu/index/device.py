@@ -609,7 +609,11 @@ class DeviceIndex:
 
         if len(jidx):
             per_term_groups = np.bincount(jidx[new_group], minlength=M)
-            over_cap = per_term_groups > cfg.max_expansions
+            over_cap = (
+                per_term_groups > cfg.max_expansions
+                if cfg.max_expansions
+                else np.zeros(M, dtype=bool)
+            )
 
             # Expansion boost (bm25.rs:44-55; byte lengths), f64 until the
             # single rounding into the packed f32 scale word.
@@ -753,12 +757,26 @@ class DeviceIndex:
 
         nchunks = np.bincount(
             flat_query, weights=pool["chunks"][tids].astype(np.float64), minlength=B
-        )
+        ).astype(np.int64)
         njobs = np.bincount(jquery, minlength=B)
+
+        # Lane-budget guard: a query whose chunk total exceeds one
+        # dispatch's lane budget cannot tile onto the device; it degrades
+        # to the scorer's vectorized host path (milliseconds, bm25.py) —
+        # the expansion TILING itself is uncapped (max_expansions=0).
+        over_lanes = np.flatnonzero(nchunks > self.LANES_PER_DISPATCH // self.CHUNK)
+        if len(over_lanes):
+            fallback.extend(int(q) for q in over_lanes)
+            keep = ~np.isin(jquery, over_lanes)
+            jquery, words = jquery[keep], words[keep]
+            nchunks[over_lanes] = 0
+            njobs = np.bincount(jquery, minlength=B)
+            if len(jquery) == 0:
+                return None, fallback
         return PlannedJobs(
             jquery=jquery,
             words=words,
-            nchunks=nchunks.astype(np.int64),
+            nchunks=nchunks,
             njobs=njobs.astype(np.int64),
         ), fallback
 
@@ -785,11 +803,16 @@ class DeviceIndex:
             nc = int(nc)
             members = order[sorted_cls == nc]
             nj = _bucket(int(plan.njobs[members].max()), self.NJ_BUCKETS, 4)
-            b_cap = max(8, int(self.LANES_PER_DISPATCH // (nc * C)))
+            b_cap = max(1, int(self.LANES_PER_DISPATCH // (nc * C)))
+            # Expansion-heavy classes (huge nc, usually singleton queries)
+            # drop the 8-row minimum pad: they take the staged XLA path
+            # (L > fused cap), where a [1, NC, C] gather is fine, and an
+            # 8x pad would multiply a near-budget gather into OOM.
+            min_pad = 1 if nc * C > (1 << 21) else 8
             for s in range(0, len(members), b_cap):
                 idxs = members[s : s + b_cap]
                 B = len(idxs)
-                B_pad = max(8, 1 << (B - 1).bit_length())
+                B_pad = max(min_pad, 1 << (B - 1).bit_length())
                 jobs_flat = np.zeros((B_pad, nj, 3), dtype=np.int32)
                 qnj = plan.njobs[idxs]
                 rows = np.repeat(np.arange(B, dtype=np.int64), qnj)
@@ -840,13 +863,22 @@ class DeviceIndex:
             plan, fallback = self.plan_batch(queries, tokenizer, scorer)
         host_rows = None
         if fallback:
-            # Graceful degradation: cap-exceeding queries run on the exact
-            # host path (which has no caps) instead of failing the batch.
+            # Graceful degradation: cap-exceeding queries run on the host
+            # (which has no caps) instead of failing the batch — through
+            # the scorer's vectorized numpy path when it has one, so one
+            # adversarial query costs milliseconds, not a per-posting
+            # Python walk holding the whole window.
             metrics.inc("device_fallback_queries", len(fallback))
+            vq = getattr(scorer, "vectorized_query", None)
             with metrics.timer("query/host_fallback"):
                 host_rows = {
-                    qi: self._index.query(
-                        queries[qi], scorer, tokenizer, fields_boost, top_k=k
+                    qi: (
+                        vq(self._index, queries[qi], tokenizer, top_k=k,
+                           fields_boost=fields_boost)
+                        if vq is not None
+                        else self._index.query(
+                            queries[qi], scorer, tokenizer, fields_boost, top_k=k
+                        )
                     )
                     for qi in fallback
                 }

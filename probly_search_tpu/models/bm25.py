@@ -149,3 +149,94 @@ class BM25(BaseScoreCalculator):
 def new(bm25k1: float = 1.2, bm25b: float = 0.75) -> BM25:
     """Factory matching the reference's ``score::bm25::new()`` (bm25.rs:21)."""
     return BM25(bm25k1=bm25k1, bm25b=bm25b)
+
+
+# --------------------------------------------------------------------- #
+# Vectorized host execution                                              #
+# --------------------------------------------------------------------- #
+#
+# The exact host path walks postings one Python call at a time — correct
+# but a latency cliff when a device-cap-exceeding query lands inside a
+# serving batch.  This NumPy path computes the identical f64 result
+# (per-posting scores -> dense per-slot max within each query term -> sum
+# across terms, the query.rs:150-164 merge rule) at array speed: an
+# adversarial single-char prefix query over millions of postings costs
+# milliseconds, not seconds.
+
+
+def vectorized_query(self, index, query, tokenizer=None, top_k=None, fields_boost=None):
+    import numpy as np
+
+    from ..models.base import QueryResult
+    from ..utils.tokenizers import whitespace_tokenizer
+
+    tokenizer = tokenizer or whitespace_tokenizer
+    # A subclass with overridden scoring keeps the exact per-posting path
+    # (this vectorization replicates BM25's formulas, not the subclass's).
+    if type(self).score is not BM25.score or type(self).before_each is not BM25.before_each:
+        if fields_boost is None:
+            fields_boost = [1.0] * index.num_fields
+        return index.query(query, self, tokenizer, fields_boost, top_k=top_k)
+    index._flush_pending()
+    F = index.num_fields
+    if fields_boost is None:
+        fields_boost = [1.0] * F
+    boost = np.asarray(fields_boost, dtype=np.float64)
+    n_docs = len(index._docs)
+    n_slots = index._next_slot
+    k1 = float(self.bm25k1)
+    b = float(self.bm25b)
+    avg = np.array([fd.avg for fd in index._fields], dtype=np.float64)
+
+    totals = np.zeros(n_slots, dtype=np.float64)
+    matched = np.zeros(n_slots, dtype=bool)
+    for qterm in tokenizer(query):
+        if not qterm:
+            continue
+        qbytes = len(qterm.encode("utf-8"))
+        term_best = np.full(n_slots, -np.inf, dtype=np.float64)
+        any_term = False
+        for exp in index._expand_term_sorted(qterm):
+            slots, tfs, occs = index._gather_postings(exp)
+            if len(slots) == 0:
+                continue
+            alive = index._alive[slots]
+            df = int(occs[alive].sum())
+            if df <= 0:
+                continue  # query.rs:48
+            # before_each, vectorized-identical math (bm25.rs:41-56).
+            freq = min(n_docs, df)
+            idf = math.log(1.0 + (n_docs - freq + 0.5) / (freq + 0.5))
+            if exp == qterm:
+                eboost = 1.0
+            else:
+                ebytes = len(exp.encode("utf-8"))
+                eboost = math.log(1.0 + (1.0 / (1.0 + ebytes - qbytes)))
+            slots_a = slots[alive]
+            tf = tfs[alive].astype(np.float64)  # [n, F]
+            flen = index._doc_len[slots_a].astype(np.float64)
+            with np.errstate(invalid="ignore"):
+                denom = k1 * ((1.0 - b) + b * (flen / avg)) + tf
+                per_field = np.where(tf > 0.0, ((k1 + 1.0) * tf) / denom, 0.0)
+            score = (per_field * boost).sum(axis=1) * (idf * eboost)
+            pos = score > 0.0  # None-on-nonpositive (bm25.rs:89-92)
+            if pos.any():
+                any_term = True
+                np.maximum.at(term_best, slots_a[pos], score[pos])
+        if any_term:
+            hit = term_best > -np.inf
+            totals[hit] += term_best[hit]
+            matched |= hit
+
+    hit_slots = np.flatnonzero(matched)
+    order = np.lexsort((hit_slots, -totals[hit_slots]))
+    hit_slots = hit_slots[order]
+    if top_k is not None:
+        hit_slots = hit_slots[:top_k]
+    return [
+        QueryResult(key=index._slot_to_key[int(s)], score=float(totals[s]))
+        for s in hit_slots
+    ]
+
+
+BM25.vectorized_query = vectorized_query

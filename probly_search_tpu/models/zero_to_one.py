@@ -158,8 +158,11 @@ def new() -> ZeroToOne:
 # so results are bit-identical to the oracle.
 
 
-def vectorized_query(index, query: str, tokenizer=None, top_k=None):
-    """Zero-to-one query over the segment SoA, vectorized with numpy."""
+def vectorized_query(index, query: str, tokenizer=None, top_k=None, fields_boost=None):
+    """Zero-to-one query over the segment SoA, vectorized with numpy.
+    ``fields_boost`` is accepted for call-site symmetry with BM25's
+    vectorized path and ignored — zero-to-one does not use field boosts
+    (zero_to_one.rs never reads FieldData.fields_boost)."""
     import numpy as np
 
     from ..models.base import QueryResult

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .merge import segmented_scan, _shift_right
+from .merge import segmented_scan, _shift_left, _shift_right
 
 _I32_MAX = np.iinfo(np.int32).max
 _LEN_BITS = 26
@@ -216,6 +216,140 @@ def z2o_step(
     return top_scores, top_docs
 
 
+def z2o_fast_step(
+    chunk: int,
+    k: int,
+    num_fields: int,
+    num_chunks: int,
+    rec,
+    jobs_flat,
+    qlen,
+):
+    """Fast zero-to-one program for queries with NO shared expansion nodes.
+
+    When every expansion node is claimed by at most one query-term instance
+    (the overwhelmingly common case — a shared node needs duplicate query
+    terms or overlapping prefix expansions), each node has at most one entry
+    per (doc, field) segment: the df pool (capacity ``tf >= 1``) can never
+    exhaust, and the sequential consumption loop (zero_to_one.rs:98-121)
+    reduces exactly to "accept the best-scoring entry per (doc, field,
+    query term), ties to the earliest-enumerated expansion".  That is one
+    stable sort + segmented reduces — the same data-parallel shape as the
+    BM25 merge — with no NJ-step lockstep loop and no per-element
+    gather/scatter state.  ~2 orders of magnitude faster than ``z2o_step``
+    at serving widths (PERFORMANCE.md).  Routing is decided at plan time
+    (``plan_batch_z2o`` returns per-query ``shared`` flags).
+
+    Same 4-word job layout as ``z2o_step`` (word 2, the node id, unused).
+    Requires doc slots < 2^24 (checked by the caller): the sort key packs
+    ``doc << 7 | field << 4 | qterm`` into int32.
+    """
+    F = num_fields
+    C = chunk
+    NC = num_chunks
+    jobs = jobs_flat.reshape(-1, jobs_flat.shape[-1] // 4, 4)
+    B, NJ, _ = jobs.shape
+    L = NC * C
+
+    jstart = jobs[..., 0]
+    w1 = jobs[..., 1]
+    jlen = w1 & ((1 << _LEN_BITS) - 1)
+    jqterm = (w1 >> _LEN_BITS) & ((1 << _QT_BITS) - 1)
+    jscore = jax.lax.bitcast_convert_type(jobs[..., 3], jnp.float32)
+
+    # --- chunk expansion + gather (as in z2o_step) ------------------------ #
+    CP = C - 128
+    njc = (jlen + (CP - 1)) // CP
+    cum = jnp.cumsum(njc, axis=1)
+    chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (B, NC), dimension=1)
+    chunk_job = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
+        cum, chunk_ids
+    ).astype(jnp.int32)
+    jc = jnp.minimum(chunk_job, NJ - 1)
+
+    def take(a):
+        return jnp.take_along_axis(a, jc, axis=1)
+
+    within = chunk_ids - (take(cum) - take(njc))
+    raw = take(jstart) + within * CP
+    c_start = (raw // 128) * 128
+    c_skip = raw - c_start
+    c_len = jnp.clip(take(jlen) - within * CP, 0, CP)
+    c_valid = chunk_ids < cum[:, -1:]
+    c_len = jnp.where(c_valid, c_len, 0)
+    c_start = jnp.where(c_valid, c_start, 0)
+    c_skip = jnp.where(c_valid, c_skip, 0)
+    c_qterm = take(jqterm)
+    c_score = take(jscore)
+
+    R = rec.shape[0]
+
+    def one(s):
+        return jax.lax.dynamic_slice(rec, (0, s), (R, C))
+
+    g = jax.vmap(jax.vmap(one))(c_start)
+    doc = g[:, :, 0, :]  # [B, NC, C]
+    tf = g[:, :, 1 : 1 + F, :].astype(jnp.float32)  # [B, NC, F, C]
+    flen = jax.lax.bitcast_convert_type(g[:, :, 1 + F : 1 + 2 * F, :], jnp.float32)
+    alive = g[:, :, 1 + 2 * F, :]
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, NC, C), dimension=2)
+    live = (
+        (pos >= c_skip[..., None]) & (pos < (c_skip + c_len)[..., None]) & (alive > 0)
+    )
+
+    # --- entries: one lane per (posting, field) with tf > 0 --------------- #
+    def fexp(a):  # [B, NC, C] -> [B, F, L]
+        return jnp.broadcast_to(a[:, None], (B, F, NC, C)).reshape(B, F, L)
+
+    tf_e = jnp.moveaxis(tf, 2, 1).reshape(B, F, L)
+    flen_e = jnp.moveaxis(flen, 2, 1).reshape(B, F, L)
+    doc_e = fexp(doc)
+    mask = fexp(live) & (tf_e > 0)
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (B, F, L), dimension=1)
+    s_e = fexp(jnp.broadcast_to(c_score[..., None], (B, NC, C)))
+    q_e = fexp(jnp.broadcast_to(c_qterm[..., None], (B, NC, C)))
+    contrib = (
+        jnp.minimum(s_e / tf_e, 1.0) * tf_e / jnp.maximum(flen_e, qlen[:, None, None])
+    )
+    contrib = jnp.where(mask, contrib, 0.0)
+
+    # Sort key: (doc, field, qterm) packed; stable ties resolve to the
+    # earliest-enumerated lane = the oracle's enumeration order (query term
+    # asc is in the key; expansion lexicographic asc is the job order).
+    k1 = jnp.where(
+        mask, (doc_e << (_QT_BITS + 3)) | (fidx << _QT_BITS) | q_e, _I32_MAX
+    )
+    FL = F * L
+    k1s, _negs, contribs = jax.lax.sort(
+        (k1.reshape(B, FL), (-s_e).reshape(B, FL), contrib.reshape(B, FL)),
+        dimension=1,
+        num_keys=2,
+    )
+    valid = k1s != _I32_MAX
+
+    # Accepted = first lane of each (doc, field, qterm) group.
+    head1 = k1s != _shift_right(k1s, -1)
+    sel = jnp.where(head1 & valid, contribs, 0.0)
+
+    # Pool sum per (doc, field) segment; doc score = max over fields
+    # (always >= 0: the provisional score from score(), zero_to_one.rs:81).
+    segk = k1s >> _QT_BITS
+    head2 = segk != _shift_right(segk, -1)
+    seg_sum = segmented_scan(jnp.add, sel, head2)
+    tail2 = segk != _shift_left(segk, -1)
+    dock = jnp.where(valid, k1s >> (_QT_BITS + 3), _I32_MAX)
+    field_val = jnp.where(tail2 & valid, jnp.maximum(seg_sum, 0.0), -jnp.inf)
+    head_d = (dock != _shift_right(dock, -1)) & valid
+    doc_max = segmented_scan(jnp.maximum, field_val, head_d)
+    tail_d = dock != _shift_left(dock, -1)
+    final = jnp.where(tail_d & valid, doc_max, -jnp.inf)
+    top_scores, top_lanes = jax.lax.top_k(final, k)
+    top_docs = jnp.take_along_axis(dock, top_lanes, axis=1)
+    top_docs = jnp.where(jnp.isfinite(top_scores), top_docs, -1)
+    return top_scores, top_docs
+
+
 def plan_batch_z2o(dix, queries, tokenizer):
     """Plan a z2o batch into 4-word job tables.
 
@@ -242,7 +376,7 @@ def plan_batch_z2o(dix, queries, tokenizer):
     counts = np.array([len(t) for t in filt], dtype=np.int64)
     total_terms = int(counts.sum())
     if total_terms == 0 or dix.num_postings == 0:
-        return None, None, qlen, None, None, fallback
+        return None, None, qlen, None, None, fallback, None
     flat_query = np.repeat(np.arange(B, dtype=np.int64), counts)
     flat_qterm = _segment_arange(counts)
     from ..index.segment import probe_terms_fixed
@@ -279,7 +413,7 @@ def plan_batch_z2o(dix, queries, tokenizer):
             )
         )
     if not parts:
-        return None, None, qlen, None, None, fallback
+        return None, None, qlen, None, None, fallback, None
     jidx, jstart, jlen, jexp, jblen, jldf, jseg = (
         np.concatenate([p[i] for p in parts]) for i in range(7)
     )
@@ -288,7 +422,7 @@ def plan_batch_z2o(dix, queries, tokenizer):
         a[keep] for a in (jidx, jstart, jlen, jexp, jblen, jldf, jseg)
     )
     if len(jidx) == 0:
-        return None, None, qlen, None, None, fallback
+        return None, None, qlen, None, None, fallback, None
 
     # df over segments per (query term, expansion); df == 0 never scored
     # (query.rs:48).
@@ -306,13 +440,17 @@ def plan_batch_z2o(dix, queries, tokenizer):
     )
     new_g = new_g[keep2]
     if len(jidx) == 0:
-        return None, None, qlen, None, None, fallback
+        return None, None, qlen, None, None, fallback, None
 
     per_term_exp = np.bincount(jidx[new_g], minlength=total_terms)
     jquery = flat_query[jidx]
-    bad = set(
-        int(q)
-        for q in flat_query[np.flatnonzero(per_term_exp > cfg.max_expansions)]
+    bad = (
+        set(
+            int(q)
+            for q in flat_query[np.flatnonzero(per_term_exp > cfg.max_expansions)]
+        )
+        if cfg.max_expansions
+        else set()
     )
     if bad:
         fallback.extend(sorted(bad))
@@ -321,7 +459,7 @@ def plan_batch_z2o(dix, queries, tokenizer):
             a[keepq] for a in (jidx, jstart, jlen, jexp, jblen, jquery)
         )
         if len(jidx) == 0:
-            return None, None, qlen, None, None, fallback
+            return None, None, qlen, None, None, fallback, None
 
     # Node ids: one per distinct expansion per QUERY (keyed by the expanded
     # term alone — shared across query terms, zero_to_one.rs:75).
@@ -349,7 +487,7 @@ def plan_batch_z2o(dix, queries, tokenizer):
             for a in (jidx, jstart, jlen, jexp, jblen, jquery, node_local)
         )
         if len(jidx) == 0:
-            return None, None, qlen, None, None, fallback
+            return None, None, qlen, None, None, fallback, None
 
     # Entry score: 1 - |len(exp) - len(term)| / len(exp), byte lengths
     # (zero_to_one.rs:57-58); expansions never shorten, so always in (0, 1].
@@ -363,11 +501,22 @@ def plan_batch_z2o(dix, queries, tokenizer):
     words[:, 2] = node_local
     words[:, 3] = score.view(np.int32)
 
+    # Shared-node detection: a node (distinct expansion per query) claimed
+    # by >= 2 distinct query-term instances makes the df-pool interaction
+    # real — those queries need the lockstep program (z2o_step); everyone
+    # else takes the loop-free fast program (z2o_fast_step).
+    jqt = flat_qterm[jidx]
+    o3 = np.lexsort((jqt, jexp, jquery))
+    samegrp = (jquery[o3][1:] == jquery[o3][:-1]) & (jexp[o3][1:] == jexp[o3][:-1])
+    diffq = jqt[o3][1:] != jqt[o3][:-1]
+    shared = np.zeros(B, dtype=bool)
+    shared[jquery[o3][1:][samegrp & diffq]] = True
+
     CP = dix.CHUNK - 128
     job_chunks = (jlen + CP - 1) // CP
     nchunks = np.bincount(jquery, weights=job_chunks.astype(np.float64), minlength=B)
     njobs = np.bincount(jquery, minlength=B)
-    return jquery, words, qlen, nchunks.astype(np.int64), njobs, fallback
+    return jquery, words, qlen, nchunks.astype(np.int64), njobs, fallback, shared
 
 
 _Z2O_STEP_CACHE = {}
@@ -389,14 +538,15 @@ def _z2o_window_step_impl(
     outs = []
     off = 0
     qoff = 0
-    for b_pad, b_out, nj, nc in class_specs:
+    for b_pad, b_out, nj, nc, fast in class_specs:
         n = b_pad * nj * 4
         jobs = words_flat[off : off + n].reshape(b_pad, nj * 4)
         off += n
         ql = qlen_flat[qoff : qoff + b_pad]
         qoff += b_pad
         kk = min(k, nc * chunk * num_fields)
-        s, d = z2o_step(
+        step_fn = z2o_fast_step if fast else z2o_step
+        s, d = step_fn(
             chunk=chunk,
             k=kk,
             num_fields=num_fields,
@@ -440,31 +590,43 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
     B = len(queries)
     k = top_k or dix.config.default_top_k
     results = [[] for _ in range(B)]
-    jquery, words, qlen, nchunks, njobs, fallback = plan_batch_z2o(
+    jquery, words, qlen, nchunks, njobs, fallback, shared = plan_batch_z2o(
         dix, queries, tokenizer
     )
     if fallback:
+        # Cap-exceeding queries run the vectorized host lockstep —
+        # bit-identical to the exact oracle, milliseconds instead of a
+        # per-posting Python walk.  A z2o SUBCLASS with overridden scoring
+        # keeps the exact path (its semantics are its own).
         metrics.inc("device_fallback_queries", len(fallback))
+        plain = scorer is None or type(scorer) is _z2o.ZeroToOne
         for qi in fallback:
-            results[qi] = dix._index.query(
-                queries[qi],
-                scorer if scorer is not None else _z2o.new(),
-                tokenizer,
-                [1.0] * dix.num_fields,
-                top_k=k,
+            results[qi] = (
+                _z2o.ZeroToOne.vectorized_query(
+                    dix._index, queries[qi], tokenizer, top_k=k
+                )
+                if plain
+                else dix._index.query(
+                    queries[qi], scorer, tokenizer, [1.0] * dix.num_fields, top_k=k
+                )
             )
     if jquery is None:
         return results
 
     C = dix.CHUNK
+    F = max(dix.num_fields, 1)
     nc_bucket = _bucket_vec(nchunks, dix.NC_BUCKETS, 4)
-    # Entry-lane width cap: the z2o program's 7-operand sort + lockstep
-    # scans compile pathologically on the remote compiler past ~16k lanes
-    # (>25 min at 32k on a 50k-doc 2-field corpus), and the vectorized host
-    # lockstep (models/zero_to_one.py) is already fast — route big queries
-    # there.
+    # Routing: queries with no shared expansion nodes take the loop-free
+    # fast program (z2o_fast_step; its packed sort key needs doc slots
+    # < 2^24); shared-node queries need the exact lockstep program, whose
+    # sort + scan pipeline compiles pathologically on the remote compiler
+    # past ~16k entry lanes (>25 min at 32k) — bigger shared-node queries
+    # go to the vectorized host lockstep (models/zero_to_one.py).
+    fast_ok = dix.num_slots < (1 << 24)
+    fastq = (~shared) & fast_ok if shared is not None else np.zeros(B, bool)
+    lanes = nc_bucket * C * F
     max_fl = 16384
-    huge = nc_bucket * C * max(dix.num_fields, 1) > max_fl
+    huge = (~fastq & (lanes > max_fl)) | (fastq & (lanes > dix.LANES_PER_DISPATCH))
     if huge.any():
         metrics.inc("z2o_host_vectorized_queries", int(huge.sum()))
         for qi in np.flatnonzero(huge & (njobs > 0)):
@@ -479,31 +641,33 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
     word_parts = []
     qlen_parts = []
     row = 0
-    for nc in np.unique(nc_bucket[nc_bucket > 0]):
-        nc = int(nc)
-        members = np.flatnonzero((nc_bucket == nc) & (njobs > 0))
-        if len(members) == 0:
-            continue
-        nj = _bucket(int(njobs[members].max()), dix.NJ_BUCKETS, 4)
-        b_cap = max(8, int(dix.LANES_PER_DISPATCH // (nc * C * dix.num_fields)))
-        for s in range(0, len(members), b_cap):
-            idxs = members[s : s + b_cap]
-            Bc = len(idxs)
-            B_pad = max(8, 1 << (Bc - 1).bit_length())
-            b_out = min(B_pad, -(-Bc // 256) * 256)
-            jobs_flat = np.zeros((B_pad, nj, 4), dtype=np.int32)
-            sel = np.isin(jquery, idxs)
-            jq = jquery[sel]
-            pos = _segment_arange(np.bincount(jq, minlength=B)[idxs])
-            r = np.searchsorted(idxs, jq)
-            jobs_flat[r, pos] = words[sel]
-            qlen_pad = np.ones(B_pad, np.float32)
-            qlen_pad[:Bc] = qlen[idxs]
-            word_parts.append(jobs_flat.reshape(-1))
-            qlen_parts.append(qlen_pad)
-            class_specs.append((B_pad, b_out, nj, nc))
-            layout.append((idxs, row))
-            row += b_out
+    for fast_mode in (True, False):
+        mode_sel = fastq if fast_mode else ~fastq
+        for nc in np.unique(nc_bucket[(nc_bucket > 0) & mode_sel]):
+            nc = int(nc)
+            members = np.flatnonzero((nc_bucket == nc) & (njobs > 0) & mode_sel)
+            if len(members) == 0:
+                continue
+            nj = _bucket(int(njobs[members].max()), dix.NJ_BUCKETS, 4)
+            b_cap = max(8, int(dix.LANES_PER_DISPATCH // (nc * C * F)))
+            for s in range(0, len(members), b_cap):
+                idxs = members[s : s + b_cap]
+                Bc = len(idxs)
+                B_pad = max(8, 1 << (Bc - 1).bit_length())
+                b_out = min(B_pad, -(-Bc // 256) * 256)
+                jobs_flat = np.zeros((B_pad, nj, 4), dtype=np.int32)
+                sel = np.isin(jquery, idxs)
+                jq = jquery[sel]
+                pos = _segment_arange(np.bincount(jq, minlength=B)[idxs])
+                r = np.searchsorted(idxs, jq)
+                jobs_flat[r, pos] = words[sel]
+                qlen_pad = np.ones(B_pad, np.float32)
+                qlen_pad[:Bc] = qlen[idxs]
+                word_parts.append(jobs_flat.reshape(-1))
+                qlen_parts.append(qlen_pad)
+                class_specs.append((B_pad, b_out, nj, nc, fast_mode))
+                layout.append((idxs, row))
+                row += b_out
     if not class_specs:
         return results
     step = _get_z2o_window_step()

@@ -196,10 +196,16 @@ class ShardedDeviceIndex:
         if len(tid) == 0:
             return None, fallback
 
-        # Expansion cap -> per-query host fallback (graceful degradation).
+        # Expansion cap -> per-query host fallback (only when configured;
+        # the default max_expansions=0 tiles expansions through the device).
         per_term_exp = np.bincount(jidx, minlength=total_terms)
-        bad: Set[int] = set(
-            int(q) for q in flat_query[np.flatnonzero(per_term_exp > cfg.max_expansions)]
+        bad: Set[int] = (
+            set(
+                int(q)
+                for q in flat_query[np.flatnonzero(per_term_exp > cfg.max_expansions)]
+            )
+            if cfg.max_expansions
+            else set()
         )
         if bad:
             fallback.extend(sorted(bad))
@@ -252,6 +258,22 @@ class ShardedDeviceIndex:
                 jquery, weights=chunks_all[s].astype(np.float64), minlength=B
             )
             np.maximum(max_chunks, nch.astype(np.int64), out=max_chunks)
+        # Lane-budget guard (mirrors the single-chip planner): per-shard
+        # chunk totals beyond one dispatch's budget degrade to the
+        # vectorized host path.
+        from ..index.device import DeviceIndex
+
+        over_lanes = np.flatnonzero(
+            max_chunks > DeviceIndex.LANES_PER_DISPATCH // C
+        )
+        if len(over_lanes):
+            fallback.extend(int(q) for q in over_lanes)
+            keep_j = ~np.isin(jquery, over_lanes)
+            jquery = jquery[keep_j]
+            words = words[:, keep_j]
+            max_chunks[over_lanes] = 0
+            if len(jquery) == 0:
+                return None, fallback
         njobs = np.bincount(jquery, minlength=B)
         return (jquery, words, max_chunks, njobs), fallback
 
@@ -368,8 +390,16 @@ class ShardedDeviceIndex:
         host_rows = None
         if fallback:
             metrics.inc("device_fallback_queries", len(fallback))
+            vq = getattr(scorer, "vectorized_query", None)
             host_rows = {
-                qi: self._index.query(queries[qi], scorer, tokenizer, fields_boost, top_k=k)
+                qi: (
+                    vq(self._index, queries[qi], tokenizer, top_k=k,
+                       fields_boost=fields_boost)
+                    if vq is not None
+                    else self._index.query(
+                        queries[qi], scorer, tokenizer, fields_boost, top_k=k
+                    )
+                )
                 for qi in fallback
             }
         if planned is None:

@@ -113,3 +113,41 @@ def test_z2o_backend_device_accepted():
     rows = ix.query_batch(["abc"], zero_to_one.new(), tokenizer, top_k=3, backend="device")
     assert rows[0][0].key == 0
     assert rows[0][0].score == pytest.approx(1.0, abs=1e-6)
+
+
+def test_shared_node_detection():
+    """Routing: duplicate query terms or overlapping prefix expansions mark
+    a query shared-node (lockstep program); plain queries take the fast
+    loop-free program."""
+    from probly_search_tpu.ops.z2o_device import plan_batch_z2o
+
+    ix = build_test_index(["abc def", "abcx", "ab"])
+    dix = ix.device_index()
+    queries = [
+        "abc def",   # distinct terms, disjoint expansions -> fast
+        "abc abc",   # duplicate query term -> shared
+        "ab abc",    # "ab" expands to {ab, abc, abcx}, "abc" to {abc, abcx} -> shared
+        "def",       # single term -> fast
+    ]
+    *_, fallback, shared = plan_batch_z2o(dix, queries, tokenizer)
+    assert fallback == []
+    assert list(shared) == [False, True, True, False]
+
+
+def test_mixed_fast_slow_batch_matches_oracle():
+    rng = random.Random(7)
+    vocab = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 4))) for _ in range(40)]
+    ix = Index(1)
+    for i in range(300):
+        ix.add_document(
+            [title_extract], tokenizer, i,
+            Doc(id=i, title=" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 6)))),
+        )
+    queries = []
+    for _ in range(10):
+        queries.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3))))
+    for _ in range(5):
+        t = rng.choice(vocab)
+        queries.append(f"{t} {t}")        # shared via duplicates
+        queries.append(f"{t[:1]} {t}")    # shared via overlapping prefixes (often)
+    _assert_matches_oracle(ix, queries)

@@ -79,7 +79,7 @@ class DeviceWeightedCount(BaseScoreCalculator):
         import jax.numpy as jnp
 
         per_field = lanes.tf * lanes.fields_boost[:, None]  # [B, NC, F, C]
-        return jnp.sum(per_field, axis=-2) * lanes.scale[..., None]
+        return jnp.sum(per_field, axis=-2) * lanes.scale  # scale is per-lane
 
 
 index = Index(2)

@@ -36,6 +36,13 @@ class IndexConfig:
     max_expansions: int = 0
     # Max query terms per query on the device path.
     max_query_terms: int = 16
+    # Expansion count at which a query term switches from per-expansion
+    # jobs to TERM-RANGE jobs: one job covering the term's whole contiguous
+    # expansion range in the CSR, with idf/term-length read per posting
+    # from the static aux record array (index/device.py).  Kills the
+    # one-chunk-per-tiny-term padding that would otherwise make single-char
+    # prefix queries explode.  0 disables range jobs.
+    range_min_expansions: int = 64
     # Compute dtype on device (scores); the host oracle path is always f64.
     score_dtype: str = "float32"
     # Default top-k for the device query path.

@@ -102,8 +102,11 @@ class ScoreLanes:
     field_length: Any  # f32[B, NC, F, C] — per-field doc lengths
     field_avg: Any  # f32[F] — average field lengths
     fields_boost: Any  # f32[F]
-    scale: Any  # f32[B, NC] — per-job scale from device_term_scale (the
-    # vectorized before_each; for BM25: df-clamped idf * expansion boost)
+    scale: Any  # f32[B, NC, C] — per-LANE scale.  Per-expansion jobs
+    # broadcast the job's host-premultiplied scale word (device_term_scale,
+    # the vectorized before_each: df-clamped idf * expansion boost for
+    # BM25); term-range jobs assemble it on device from the aux record
+    # array (static idf row x device_range_boost(term_len, qlen)).
     doc: Any  # int32[B, NC, C] — doc slot
     live: Any  # bool[B, NC, C] — posting is live and in-bounds
     qterm: Any  # int32[B, NC] — dense query-term index per chunk
@@ -120,13 +123,23 @@ def _query_step_impl(
     field_avg,
     fields_boost,
     jobs_flat,
+    aux=None,
+    use_ranges: bool = False,
 ):
     """One dispatch: ``jobs_flat`` int32[B * NJ * 3] -> top-k per query.
 
     ``rec`` is the TRANSPOSED posting record array int32[R, P + C] so every
     chunk gather is a [R, C] slice with the lane dimension minor.  df / idf
-    never touch the device: they are static per snapshot and premultiplied
-    into each job's scale word on host (see plan_batch).
+    never touch the device for per-expansion jobs: they are static per
+    snapshot and premultiplied into each job's scale word on host (see
+    plan_batch).  TERM-RANGE jobs (word1 bit 30; expansion-heavy terms)
+    cover a whole contiguous expansion range of the CSR instead, and read
+    the static per-posting idf / term byte length from ``aux``
+    (int32[4, P + C], DeviceIndex._aux_rec) to assemble the per-lane scale
+    on device — a single-char prefix query is a handful of long jobs, not
+    one padded chunk per tiny term.  ``use_ranges`` classes skip the fused
+    kernel and the pre-sorted merge (range chunks span many terms, so they
+    are not globally doc-sorted).
     """
     F = num_fields
     C = chunk
@@ -168,13 +181,19 @@ def _query_step_impl(
     c_skip = jnp.where(c_valid, c_skip, 0)
     c_qterm = take(jqterm)
     c_scale = take(jscale)
+    if use_ranges:
+        c_range = (take(w1) >> 30) & 1  # [B, NC] — chunk of a range job
+        c_qlenb = take(jobs[..., 2]).astype(jnp.float32)  # word2 = qterm bytes
 
     # --- fully fused kernel path (TPU) ----------------------------------- #
     # DMA gather + score + merge in one VMEM-resident Pallas program
     # (ops/pallas_query.py).  With df hoisted to the host there is no
     # cross-shard reduction mid-program, so the sharded path fuses too.
+    # Range classes always take the staged path (they need the aux gather
+    # and a full sort).
     if (
-        _FUSED_MODE != "off"
+        not use_ranges
+        and _FUSED_MODE != "off"
         and (L & (L - 1)) == 0
         and L <= _FUSED_MAX_LANES
         and (_FUSED_MODE == "interpret" or jax.default_backend() != "cpu")
@@ -218,12 +237,25 @@ def _query_step_impl(
         & (alive > 0)
     )
 
+    scale_lanes = jnp.broadcast_to(c_scale[..., None], (B, NC, C))
+    if use_ranges:
+        # Per-lane scale for range chunks: static idf row x on-device
+        # expansion boost (aux rows 0/1; see DeviceIndex._aux_rec).
+        def one_aux(s):
+            return jax.lax.dynamic_slice(aux, (0, s), (aux.shape[0], C))
+
+        a = jax.vmap(jax.vmap(one_aux))(c_start)
+        idf_lane = jax.lax.bitcast_convert_type(a[:, :, 0, :], jnp.float32)
+        tlen_lane = a[:, :, 1, :].astype(jnp.float32)
+        boost = scorer.device_range_boost(tlen_lane, c_qlenb[..., None])
+        scale_lanes = jnp.where(c_range[..., None] > 0, idf_lane * boost, scale_lanes)
+
     lanes = ScoreLanes(
         tf=tf,
         field_length=flen,
         field_avg=field_avg,
         fields_boost=fields_boost,
-        scale=c_scale,
+        scale=scale_lanes,
         doc=doc,
         live=live,
         qterm=c_qterm,
@@ -231,7 +263,7 @@ def _query_step_impl(
     score = scorer.device_score_lanes(lanes)  # [B, NC, C]
     excl = bool(getattr(scorer, "device_excludes_nonpositive", False))
 
-    if (C & (C - 1)) == 0:
+    if (C & (C - 1)) == 0 and not use_ranges:
         # Pre-sorted-runs scheme (chunks are ascending doc runs, CSR
         # invariant): odd-even merge instead of lax.sort, same sentinel /
         # exclusion semantics as the fused kernel (ops/pallas_merge.py).
@@ -268,6 +300,7 @@ def _window_step_impl(
     field_avg,
     fields_boost,
     words_flat,
+    aux,
     *,
     chunk: int,
     k: int,
@@ -293,7 +326,7 @@ def _window_step_impl(
     """
     outs = []
     off = 0
-    for b_pad, b_out, nj, nc in class_specs:
+    for b_pad, b_out, nj, nc, rng in class_specs:
         n = b_pad * nj * 3
         jobs_flat = words_flat[off : off + n].reshape(b_pad, nj * 3)
         off += n
@@ -309,6 +342,8 @@ def _window_step_impl(
             field_avg=field_avg,
             fields_boost=fields_boost,
             jobs_flat=jobs_flat,
+            aux=aux,
+            use_ranges=rng,
         )
         s = s[:b_out]
         d = d[:b_out]
@@ -322,6 +357,11 @@ def _window_step_impl(
 
 
 _STEP_CACHE: Dict[Any, Any] = {}
+
+# Placeholder aux array for windows with no range classes (the jitted
+# window step takes aux positionally; a fixed tiny shape keeps the compile
+# cache key stable).
+_AUX_DUMMY = np.zeros((4, 8), dtype=np.int32)
 
 
 def _scorer_cache_key(scorer):
@@ -338,7 +378,9 @@ def _get_step(scorer) -> Any:
 
         fn = jax.jit(
             partial(_query_step_impl, scorer),
-            static_argnames=("chunk", "k", "qterm_bits", "num_fields", "num_chunks"),
+            static_argnames=(
+                "chunk", "k", "qterm_bits", "num_fields", "num_chunks", "use_ranges",
+            ),
         )
         _STEP_CACHE[key] = fn
     return fn
@@ -397,9 +439,10 @@ class PlannedJobs:
     """Flat job table for a batch, sorted by query."""
 
     jquery: np.ndarray  # int64[NJOBS]
-    words: np.ndarray  # int32[NJOBS, 3] — start, len|qterm|group, boost bits
+    words: np.ndarray  # int32[NJOBS, 3] — start, len|qterm|range, scale bits
     nchunks: np.ndarray  # int64[B] — total chunks per query
     njobs: np.ndarray  # int64[B]
+    has_range: np.ndarray  # bool[B] — query carries a term-range job
 
 
 class DeviceIndex:
@@ -413,7 +456,14 @@ class DeviceIndex:
     # Overridable via IndexConfig.chunk_size.
     CHUNK = 1024
     LANES_PER_DISPATCH = 1 << 24  # ~16M lanes -> ~256MB gather per sub-program
-    NC_BUCKETS = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+    # Above 2048 the pow-2 fallthrough would waste up to half the gather on
+    # pad chunks; expansion-heavy (range-job) classes are usually singleton
+    # queries near the lane budget, so intermediate buckets pay for
+    # themselves despite the extra compile variants.
+    NC_BUCKETS = (
+        4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048,
+        3072, 4096, 6144, 8192, 12288, 16384,
+    )
     NJ_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
 
     def __init__(self, index) -> None:
@@ -497,6 +547,61 @@ class DeviceIndex:
         # must not observe a pool whose parallel arrays are mid-update.
         self._plan_pools: Dict[Any, Dict[str, Any]] = {}
         self._plan_lock = threading.RLock()
+        # Aux record array (per-posting static scoring metadata for
+        # term-range jobs), built lazily per scorer on the first
+        # expansion-heavy query (_aux_rec).
+        self._aux_cache: Dict[Any, Any] = {}
+
+    def _aux_rec(self, scorer):
+        """Aux record array int32[4, P + C] for term-range jobs:
+
+          aux[0]  f32 bits — the scorer's per-term STATIC scale part
+                  (device_term_static over the term's GLOBAL live df;
+                  for BM25 the df-clamped idf, bm25.rs:41-56)
+          aux[1]  term utf-8 byte length (expansion boost input)
+          aux[2:] sublane pad
+
+        Snapshot-static per scorer configuration; built lazily because
+        only expansion-heavy queries need it.
+        """
+        key = _scorer_cache_key(scorer)
+        cached = self._aux_cache.get(key)
+        if cached is not None:
+            return cached
+        P = self.num_postings
+        C = self.CHUNK
+        aux = np.zeros((4, P + C), dtype=np.int32)
+        if P:
+            # Global df per term string: segments may repeat a term; its df
+            # (live posting-pointer count, index.rs:282-297) sums across
+            # them — matching the df grouping of per-expansion planning.
+            gterms = np.unique(np.concatenate(self.seg_terms))
+            gdf = np.zeros(len(gterms), dtype=np.float64)
+            for si, terms in enumerate(self.seg_terms):
+                if len(terms) == 0:
+                    continue
+                gid = np.searchsorted(gterms, terms)
+                offs = self.seg_offsets[si]
+                cum = self.seg_live_cum[si]
+                gdf[gid] += cum[offs[1:]] - cum[offs[:-1]]
+            static = np.asarray(
+                scorer.device_term_static(gdf, self.n_docs), dtype=np.float32
+            )
+            pos = 0
+            for si, terms in enumerate(self.seg_terms):
+                if len(terms) == 0:
+                    continue
+                reps = np.diff(self.seg_offsets[si]).astype(np.int64)
+                n = int(reps.sum())
+                gid = np.searchsorted(gterms, terms)
+                aux[0, pos : pos + n] = np.repeat(static[gid], reps).view(np.int32)
+                aux[1, pos : pos + n] = np.repeat(
+                    np.asarray(self.seg_term_lens[si], np.int32), reps
+                )
+                pos += n
+        arr = jnp.asarray(aux)
+        self._aux_cache[key] = arr
+        return arr
 
 
     # ------------------------------------------------------------------ #
@@ -526,6 +631,7 @@ class DeviceIndex:
                 "scale": np.zeros(0, dtype=np.float32),
                 "chunks": np.zeros(0, dtype=np.int64),  # per term
                 "over_cap": np.zeros(0, dtype=bool),  # per term
+                "range": np.zeros(0, dtype=bool),  # per job: term-range job
             }
             self._plan_pools[_scorer_cache_key(scorer)] = pool
         ids = pool["ids"]
@@ -541,17 +647,42 @@ class DeviceIndex:
         M = len(flat_terms)
         flat_upper = np.char.add(flat_terms, _MAX_CHAR)
 
+        # Prefix ranges per segment, and TERM-RANGE eligibility: a term
+        # expanding past range_min_expansions gets ONE job per segment
+        # covering its whole contiguous CSR range (per-posting idf /
+        # term-length read from the aux array on device) instead of one
+        # padded chunk per tiny expansion.
+        cfgthr = cfg.range_min_expansions
+        supports_ranges = (
+            cfgthr > 0
+            and hasattr(scorer, "device_term_static")
+            and hasattr(scorer, "device_range_boost")
+        )
+        seg_ranges: List[Any] = []
+        nexp_total = np.zeros(M, dtype=np.int64)
+        for si in range(len(self.segments)):
+            terms = self.seg_terms[si]
+            if len(terms) == 0:
+                seg_ranges.append(None)
+                continue
+            lo = np.searchsorted(terms, flat_terms, side="left")
+            hi = np.searchsorted(terms, flat_upper, side="left")
+            seg_ranges.append((lo, hi))
+            nexp_total += hi - lo
+        eligible = (
+            nexp_total >= cfgthr if supports_ranges else np.zeros(M, dtype=bool)
+        )
+
         # Per segment: prefix ranges -> candidate jobs.  Each job carries
         # its live df (two lookups in the segment's live-occurrence cumsum;
         # the device analogue of count_documents, index.rs:282-297).
         job_parts = []
         for si in range(len(self.segments)):
             terms = self.seg_terms[si]
-            if len(terms) == 0:
+            if seg_ranges[si] is None:
                 continue
-            lo = np.searchsorted(terms, flat_terms, side="left")
-            hi = np.searchsorted(terms, flat_upper, side="left")
-            nexp = hi - lo
+            lo, hi = seg_ranges[si]
+            nexp = np.where(eligible, 0, hi - lo)
             if nexp.max(initial=0) == 0:
                 continue
             tid = np.repeat(lo, nexp) + _segment_arange(nexp)
@@ -622,7 +753,42 @@ class DeviceIndex:
                 exact, 1.0, np.log1p(1.0 / (1.0 + jblen - flat_blen[jidx]))
             )
             scale = scorer.device_term_scale(jdf, self.n_docs, boost)
+        else:
+            over_cap = np.zeros(M, dtype=bool)
+            jstart = np.zeros(0, dtype=np.int64)
+            jlen = np.zeros(0, dtype=np.int64)
+            scale = np.zeros(0, dtype=np.float32)
+        jrange = np.zeros(len(jidx), dtype=bool)
 
+        # Term-range jobs for eligible terms: one per (term, segment) over
+        # the whole expansion range (postings of tids [lo, hi) are
+        # CONTIGUOUS in the CSR).  The scale word carries the query term's
+        # byte length instead — the device assembles the per-lane scale
+        # from the aux rows (idf x device_range_boost).
+        if eligible.any():
+            r_idx, r_start, r_len, r_qb = [], [], [], []
+            for si, rng_ in enumerate(seg_ranges):
+                if rng_ is None:
+                    continue
+                lo, hi = rng_
+                offs = self.seg_offsets[si]
+                for i in np.flatnonzero(eligible & (hi > lo)):
+                    s, e = int(offs[lo[i]]), int(offs[hi[i]])
+                    if e > s:
+                        r_idx.append(i)
+                        r_start.append(self.seg_base[si] + s)
+                        r_len.append(e - s)
+                        r_qb.append(int(flat_blen[i]))
+            if r_idx:
+                jidx = np.concatenate([jidx, np.asarray(r_idx, np.int64)])
+                jstart = np.concatenate([jstart, np.asarray(r_start, np.int64)])
+                jlen = np.concatenate([jlen, np.asarray(r_len, np.int64)])
+                scale = np.concatenate(
+                    [scale, np.asarray(r_qb, np.int32).view(np.float32)]
+                )
+                jrange = np.concatenate([jrange, np.ones(len(r_idx), bool)])
+
+        if len(jidx):
             # Split jobs longer than the packed-length capacity (the split
             # parts share the job's scale, so scores are unchanged).
             if jlen.max(initial=0) > _MAX_JOB_LEN:
@@ -633,22 +799,22 @@ class DeviceIndex:
                 jlen = np.minimum(jlen[sj] - si_ * _MAX_JOB_LEN, _MAX_JOB_LEN)
                 jidx = jidx[sj]
                 scale = scale[sj]
+                jrange = jrange[sj]
             # Over-cap terms contribute no pooled jobs (their queries fall
             # back to the host path).
             if over_cap.any():
                 keep3 = ~over_cap[jidx]
-                jidx, jstart, jlen, scale = (
-                    jidx[keep3], jstart[keep3], jlen[keep3], scale[keep3]
+                jidx, jstart, jlen, scale, jrange = (
+                    jidx[keep3], jstart[keep3], jlen[keep3], scale[keep3],
+                    jrange[keep3],
                 )
             order2 = np.argsort(jidx, kind="stable")
-            jidx, jstart, jlen, scale = (
-                jidx[order2], jstart[order2], jlen[order2], scale[order2]
+            jidx, jstart, jlen, scale, jrange = (
+                jidx[order2], jstart[order2], jlen[order2], scale[order2],
+                jrange[order2],
             )
             nj_per_term = np.bincount(jidx, minlength=M)
         else:
-            over_cap = np.zeros(M, dtype=bool)
-            jstart = jlen = np.zeros(0, dtype=np.int64)
-            scale = np.zeros(0, dtype=np.float32)
             nj_per_term = np.zeros(M, dtype=np.int64)
 
         CP = self.CHUNK - 128  # payload postings per chunk (aligned DMA)
@@ -668,6 +834,7 @@ class DeviceIndex:
         pool["scale"] = np.concatenate([pool["scale"], scale])
         pool["chunks"] = np.concatenate([pool["chunks"], term_chunks])
         pool["over_cap"] = np.concatenate([pool["over_cap"], over_cap])
+        pool["range"] = np.concatenate([pool["range"], jrange])
         # Rebuild the sorted probe arrays (miss-time only; steady-state
         # planning never takes this path).  Probe arrays are escaped so
         # trailing-NUL terms keep distinct identities (ids stay raw-keyed).
@@ -750,10 +917,14 @@ class DeviceIndex:
             return None, fallback
         jquery = np.repeat(flat_query, nj)
         jqterm = np.repeat(flat_qterm, nj)
+        jrange = pool["range"][rows]
         words = np.empty((len(rows), 3), dtype=np.int32)
         words[:, 0] = pool["start"][rows]
-        words[:, 1] = pool["len"][rows] | (jqterm << _LEN_BITS)
+        words[:, 1] = pool["len"][rows] | (jqterm << _LEN_BITS) | (jrange << 30)
         words[:, 2] = pool["scale"][rows].view(np.int32)
+        has_range = (
+            np.bincount(jquery, weights=jrange.astype(np.float64), minlength=B) > 0
+        )
 
         nchunks = np.bincount(
             flat_query, weights=pool["chunks"][tids].astype(np.float64), minlength=B
@@ -778,30 +949,37 @@ class DeviceIndex:
             words=words,
             nchunks=nchunks,
             njobs=njobs.astype(np.int64),
+            has_range=has_range,
         ), fallback
 
     def pack_dispatches(self, n_queries: int, plan: PlannedJobs):
         """Bucket queries into shape classes and pack dispatch job tables.
 
-        Returns a list of (query_indices, jobs_flat int32[B*NJ*3], NC, NJ).
-        Each dispatch is capped at LANES_PER_DISPATCH lanes.
+        Returns a list of (query_indices, jobs_flat int32[B*NJ*3], NC, NJ,
+        use_ranges).  Each dispatch is capped at LANES_PER_DISPATCH lanes.
+        Queries carrying a term-range job form separate classes (they need
+        the aux gather and the full-sort merge — see _query_step_impl).
         """
         C = self.CHUNK
         nc_bucket = _bucket_vec(plan.nchunks, self.NC_BUCKETS, 4)
         # One pass: per-query class id + position within class (queries are
         # index-sorted within each class), then every job places itself by
-        # direct lookup — no per-class isin/searchsorted.
+        # direct lookup — no per-class isin/searchsorted.  The class id
+        # encodes the range flag in bit 0.
         alive = plan.njobs > 0
-        class_of_q = np.where(alive, nc_bucket, -1)
+        class_of_q = np.where(
+            alive, nc_bucket * 2 + plan.has_range.astype(np.int64), -1
+        )
         order = np.argsort(class_of_q, kind="stable")
         sorted_cls = class_of_q[order]
         jpos = np.zeros(n_queries, dtype=np.int64)
         np.subtract(np.cumsum(plan.njobs), plan.njobs, out=jpos)  # job row start per query
 
         out = []
-        for nc in np.unique(class_of_q[alive]) if alive.any() else []:
-            nc = int(nc)
-            members = order[sorted_cls == nc]
+        for cls in np.unique(class_of_q[alive]) if alive.any() else []:
+            cls = int(cls)
+            nc, rng = cls // 2, bool(cls & 1)
+            members = order[sorted_cls == cls]
             nj = _bucket(int(plan.njobs[members].max()), self.NJ_BUCKETS, 4)
             b_cap = max(1, int(self.LANES_PER_DISPATCH // (nc * C)))
             # Expansion-heavy classes (huge nc, usually singleton queries)
@@ -819,7 +997,7 @@ class DeviceIndex:
                 pos = _segment_arange(qnj)
                 src = np.repeat(jpos[idxs], qnj) + pos
                 jobs_flat[rows, pos] = plan.words[src]
-                out.append((idxs, jobs_flat.reshape(B_pad, nj * 3), nc, nj))
+                out.append((idxs, jobs_flat.reshape(B_pad, nj * 3), nc, nj, rng))
         return out
 
     # ------------------------------------------------------------------ #
@@ -905,13 +1083,20 @@ class DeviceIndex:
                     min(jobs_flat.shape[0], -(-len(idxs) // 256) * 256),
                     nj,
                     nc,
+                    rng,
                 )
-                for idxs, jobs_flat, nc, nj in dispatches
+                for idxs, jobs_flat, nc, nj, rng in dispatches
+            )
+            any_ranges = any(rng for *_rest, rng in class_specs)
+            aux = (
+                self._aux_rec(scorer)
+                if any_ranges
+                else jnp.asarray(_AUX_DUMMY)
             )
             with metrics.timer("query/h2d"):
                 words_flat = jnp.asarray(
                     np.concatenate(
-                        [jf.reshape(-1) for _, jf, _, _ in dispatches]
+                        [jf.reshape(-1) for _, jf, _, _, _ in dispatches]
                     )
                 )
             step = _get_window_step(scorer)
@@ -921,6 +1106,7 @@ class DeviceIndex:
                     self.field_avg,
                     boost_arr,
                     words_flat,
+                    aux,
                     chunk=self.CHUNK,
                     k=k,
                     qterm_bits=self._qterm_bits,
@@ -929,7 +1115,7 @@ class DeviceIndex:
                 )
             layout = []
             row = 0
-            for (idxs, _, _, _), (_, b_out, _, _) in zip(dispatches, class_specs):
+            for (idxs, *_a), (_, b_out, *_b) in zip(dispatches, class_specs):
                 layout.append((idxs, row))
                 row += b_out
             return PendingBatch(
@@ -937,7 +1123,7 @@ class DeviceIndex:
             )
         step = _get_step(scorer)
         parts = []
-        for idxs, jobs_flat, nc, nj in dispatches:
+        for idxs, jobs_flat, nc, nj, rng in dispatches:
             top_scores, top_docs = step(
                 chunk=self.CHUNK,
                 k=min(k, nc * self.CHUNK),
@@ -948,6 +1134,8 @@ class DeviceIndex:
                 field_avg=self.field_avg,
                 fields_boost=boost_arr,
                 jobs_flat=jnp.asarray(jobs_flat),
+                aux=self._aux_rec(scorer) if rng else jnp.asarray(_AUX_DUMMY),
+                use_ranges=rng,
             )
             parts.append((idxs, top_scores, top_docs))
         return PendingBatch(self, len(queries), parts, host_rows=host_rows)

@@ -122,16 +122,40 @@ class BM25(BaseScoreCalculator):
         idf = np.log(1.0 + (n_docs - freq + 0.5) / (freq + 0.5))  # bm25.rs:56
         return (idf * expansion_boost).astype(np.float32)
 
+    def device_term_static(self, df, n_docs):
+        """Per-term STATIC part of the scale (host f64 -> f32): the
+        df-clamped Lucene idf.  Written per posting into the aux record
+        array so TERM-RANGE jobs (index/device.py) can compute the full
+        per-lane scale on device (idf is snapshot-static; the expansion
+        boost depends only on the posting's term byte length, carried in
+        the aux array too)."""
+        import numpy as np
+
+        freq = np.minimum(n_docs, df.astype(np.float64))
+        idf = np.log(1.0 + (n_docs - freq + 0.5) / (freq + 0.5))
+        return idf.astype(np.float32)
+
+    def device_range_boost(self, term_len, qlen):
+        """On-device expansion boost for range-job lanes (bm25.rs:44-55):
+        1.0 for the exact term (within a prefix range, byte-length equality
+        implies identity), else ln(1 + 1/(1 + len(exp) - len(term)))."""
+        import jax.numpy as jnp
+
+        return jnp.where(
+            term_len == qlen, 1.0, jnp.log1p(1.0 / (1.0 + term_len - qlen))
+        )
+
     def device_score_lanes(self, lanes):
         """Vectorized per-lane score (see index/device.py ScoreLanes layout:
         [B, NC, F, C] with the posting lane dim C minor).
 
         Computes, for every lane (= one posting of one expansion job):
             sum_f tf_norm(tf_f, len_f, avg_f) * boost_f * scale
-        where scale = idf * expansion_boost was precomputed on host by
-        ``device_term_scale`` (df and n_docs are static per snapshot).
-        Math is identical to the host path modulo f32.  Returns
-        f32[B, NC, C].
+        where scale = idf * expansion_boost — precomputed on host by
+        ``device_term_scale`` for per-expansion jobs, or assembled on
+        device from the aux record array for term-range jobs (the engine
+        hands a per-LANE ``lanes.scale`` either way).  Math is identical
+        to the host path modulo f32.  Returns f32[B, NC, C].
         """
         import jax.numpy as jnp
 
@@ -143,7 +167,7 @@ class BM25(BaseScoreCalculator):
         tf_norm = jnp.where(tf > 0, ((k1 + 1.0) * tf) / denom, 0.0)
         per_field = tf_norm * lanes.fields_boost[:, None]  # [B, NC, F, C]
         base = jnp.sum(per_field, axis=-2)  # [B, NC, C]
-        return base * lanes.scale[..., None]
+        return base * lanes.scale
 
 
 def new(bm25k1: float = 1.2, bm25b: float = 0.75) -> BM25:

@@ -113,7 +113,9 @@ def _query_kernel(
         field_length=flen,
         field_avg=scal_ref[0, 0:F],
         fields_boost=scal_ref[0, F : 2 * F],
-        scale=c_scale,
+        # scale is per-LANE in the scorer protocol (term-range jobs need
+        # it); per-expansion jobs broadcast the per-chunk word.
+        scale=c_scale[..., None],
         doc=doc,
         live=live,
         qterm=c_qterm,

@@ -36,7 +36,7 @@ class TfBoost(BaseScoreCalculator):
         import jax.numpy as jnp
 
         per_field = lanes.tf * lanes.fields_boost[:, None]
-        return jnp.sum(per_field, axis=-2) * lanes.scale[..., None]
+        return jnp.sum(per_field, axis=-2) * lanes.scale  # scale is per-lane
 
 
 def _one(d):

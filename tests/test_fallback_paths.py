@@ -135,3 +135,71 @@ class TestExpansionTiling:
         assert [r.key for r in rows] == [r.key for r in want]
         for a, b in zip(rows, want):
             assert a.score == pytest.approx(b.score, rel=1e-9)
+
+
+class TestTermRangeJobs:
+    """Term-range jobs: expansion-heavy terms become one CSR-range job per
+    segment, with idf/term-length read from the aux record array on device."""
+
+    def _index(self, n=400, segments=1, seed=11, config=None):
+        rng = random.Random(seed)
+        # 30 terms sharing the "aa" prefix + unrelated terms.
+        prefixed = ["aa" + "".join(rng.choice("bcde") for _ in range(j % 3 + 1))
+                    for j in range(30)]
+        other = ["zz" + str(j) for j in range(10)] + ["aa"]
+        vocab = sorted(set(prefixed)) + other
+        cfg = config or IndexConfig(range_min_expansions=4)
+        ix = Index(1, config=cfg)
+        per_seg = n // segments
+        for s in range(segments):
+            keys = list(range(s * per_seg, (s + 1) * per_seg))
+            texts = [
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 6)))
+                for _ in keys
+            ]
+            ix.add_documents_columnar(keys, [texts])
+            ix._flush_pending()
+        return ix, vocab
+
+    def _check(self, ix, queries):
+        rows = ix.query_batch(queries, bm25.new(), tokenizer, top_k=10)
+        for q, row in zip(queries, rows):
+            full = {r.key: r.score for r in ix.query(q, bm25.new(), tokenizer, [1.0])}
+            want = ix.query(q, bm25.new(), tokenizer, [1.0], top_k=10)
+            assert len(row) == len(want), q
+            for a, b in zip(row, want):
+                assert abs(a.score - b.score) < 2e-5 * max(1.0, abs(b.score)), q
+            for a in row:
+                assert abs(a.score - full[a.key]) < 2e-5 * max(1.0, abs(full[a.key])), q
+
+    def test_plan_marks_range_queries(self):
+        ix, vocab = self._index()
+        dix = ix.device_index()
+        plan, fb = dix.plan_batch(["aa", "zz1", "aa zz1"], tokenizer, bm25.new())
+        assert fb == []
+        assert list(plan.has_range) == [True, False, True]
+        # the "aa" jobs collapsed into O(segments) range jobs, not one per
+        # expansion
+        assert plan.njobs[0] <= ix.num_segments + 1
+
+    def test_range_queries_match_oracle(self):
+        ix, vocab = self._index()
+        self._check(ix, ["aa", "a", "aab", "aa zz1", "zz1", "aa aab zz2"])
+
+    def test_range_across_segments_and_deletes(self):
+        ix, vocab = self._index(segments=3)
+        for i in range(0, 120, 7):
+            ix.remove_document(i)
+        self._check(ix, ["aa", "aab", "aa zz3"])
+
+    def test_range_vs_per_expansion_same_scores(self):
+        """The same corpus planned with and without range jobs agrees."""
+        ix1, _ = self._index(seed=21)
+        ix2, _ = self._index(seed=21, config=IndexConfig(range_min_expansions=0))
+        q = ["aa", "aab zz1", "a"]
+        r1 = ix1.query_batch(q, bm25.new(), tokenizer, top_k=10)
+        r2 = ix2.query_batch(q, bm25.new(), tokenizer, top_k=10)
+        for a_row, b_row in zip(r1, r2):
+            assert [r.key for r in a_row] == [r.key for r in b_row]
+            for a, b in zip(a_row, b_row):
+                assert abs(a.score - b.score) < 2e-5 * max(1.0, abs(b.score))

@@ -444,11 +444,18 @@ class Index:
             )
         if backend in ("auto", "device") and (device_capable or device_two_phase):
             # Multi-chip routing: an attached mesh serves the batch through
-            # the doc-sharded SPMD engine (scorers with the one-phase device
-            # protocol; the two-phase z2o program is single-chip for now).
+            # the doc-sharded SPMD engine — one-phase scorers via the BM25
+            # window program, two-phase (zero-to-one) via the sharded fast
+            # z2o program (parallel/dist_query.py).
             if self._mesh is not None and device_capable:
                 return self.sharded_index().query_batch(
                     queries, score_calculator, tokenizer, fields_boost, top_k=k
+                )
+            if self._mesh is not None and device_two_phase:
+                return (
+                    self.sharded_index()
+                    .query_batch_z2o(queries, score_calculator, tokenizer, top_k=k)
+                    .get()
                 )
             try:
                 dix = self.device_index()

@@ -81,6 +81,7 @@ class ShardedDeviceIndex:
         alive = index._alive[:S]
         doc_len = index._doc_len[:S].astype(np.float32) if S else np.zeros((0, F), np.float32)
         local_max = (S - 1) // n if S else 0
+        self.local_slots = (local_max + 1) if S else 0
         if local_max >= (1 << (31 - _QT_BITS)):
             raise ValueError(
                 f"per-shard doc slots ({local_max + 1}) exceed the packed "
@@ -276,6 +277,288 @@ class ShardedDeviceIndex:
                 return None, fallback
         njobs = np.bincount(jquery, minlength=B)
         return (jquery, words, max_chunks, njobs), fallback
+
+    # ------------------------------------------------------------------ #
+    # zero-to-one planning (two-phase scorer; SURVEY §7 M4)                #
+    # ------------------------------------------------------------------ #
+
+    def plan_batch_z2o(self, queries: Sequence[str], tokenizer):
+        """Plan a zero-to-one batch into per-shard 4-word job tables.
+
+        Mirrors ``ops.z2o_device.plan_batch_z2o`` over the sharded index's
+        single merged term view: expansions are one searchsorted range, df
+        is two global live-cumsum lookups, and per-shard (start, len) come
+        from ``offsets_sh``.  Only the FAST (no shared expansion nodes)
+        program runs on the mesh — shared-node queries join ``fallback``
+        and run the bit-exact vectorized host lockstep, like every other
+        cap.  Returns ``(jquery, words int32[n, NJ, 4], qlen f32[B],
+        max_chunks, njobs, fallback)`` or ``(None, ..., fallback)``.
+        """
+        cfg = self.config
+        B = len(queries)
+        n = self.n_shards
+        C = self.CHUNK
+        fallback: List[int] = []
+
+        tok_lists = [list(tokenizer(q)) for q in queries]
+        qlen = np.array([len(t) for t in tok_lists], dtype=np.float32)
+        if self.local_slots >= (1 << 24):
+            # The fast z2o sort key packs local_doc << 7 into int32; bigger
+            # shards route everything to the vectorized host lockstep.
+            fallback.extend(range(B))
+            return None, None, qlen, None, None, fallback
+        filt = [[t for t in toks if t] for toks in tok_lists]
+        max_terms = min(cfg.max_query_terms, 1 << self._qterm_bits)
+        for qi, toks in enumerate(filt):
+            if len(toks) > max_terms:
+                fallback.append(qi)
+                filt[qi] = []
+        counts = np.array([len(t) for t in filt], dtype=np.int64)
+        total_terms = int(counts.sum())
+        if total_terms == 0 or len(self.terms) == 0:
+            return None, None, qlen, None, None, fallback
+        flat_query = np.repeat(np.arange(B, dtype=np.int64), counts)
+        flat_qterm = _segment_arange(counts)
+        from ..index.segment import probe_terms_fixed
+
+        flat_terms, flat_blen = probe_terms_fixed(
+            [t for toks in filt for t in toks]
+        )
+        lo = np.searchsorted(self.terms, flat_terms, side="left")
+        hi = np.searchsorted(self.terms, np.char.add(flat_terms, _MAX_CHAR), side="left")
+        nexp = hi - lo
+        if nexp.max(initial=0) == 0:
+            return None, None, qlen, None, None, fallback
+        tid = np.repeat(lo, nexp) + _segment_arange(nexp)
+        jidx = np.repeat(np.arange(total_terms, dtype=np.int64), nexp)
+        jdf = self.g_live_cum[self.g_offsets[tid + 1]] - self.g_live_cum[self.g_offsets[tid]]
+        keep = jdf > 0  # df == 0 expansions never scored (query.rs:48)
+        tid, jidx = tid[keep], jidx[keep]
+        if len(tid) == 0:
+            return None, None, qlen, None, None, fallback
+        jquery = flat_query[jidx]
+        jqterm = flat_qterm[jidx]
+
+        # Shared-node detection (node identity == merged tid per query):
+        # those queries need the lockstep pool semantics -> host lockstep.
+        o3 = np.lexsort((jqterm, tid, jquery))
+        samegrp = (jquery[o3][1:] == jquery[o3][:-1]) & (tid[o3][1:] == tid[o3][:-1])
+        diffq = jqterm[o3][1:] != jqterm[o3][:-1]
+        shared_q = np.unique(jquery[o3][1:][samegrp & diffq])
+        if len(shared_q):
+            fallback.extend(int(q) for q in shared_q)
+            keep2 = ~np.isin(jquery, shared_q)
+            tid, jidx, jquery, jqterm = (
+                tid[keep2], jidx[keep2], jquery[keep2], jqterm[keep2]
+            )
+            if len(tid) == 0:
+                return None, None, qlen, None, None, fallback
+
+        # Entry score (zero_to_one.rs:57-58, byte lengths).
+        tlen = self.term_lens[tid].astype(np.float64)
+        score = (1.0 - np.abs(tlen - flat_blen[jidx]) / tlen).astype(np.float32)
+        meta1 = (jqterm << _LEN_BITS).astype(np.int64)
+
+        starts_all = self.offsets_sh[:, tid]
+        lens_all = (self.offsets_sh[:, tid + 1] - starts_all).astype(np.int64)
+        nsplit = np.maximum(
+            1, (lens_all.max(axis=0) + _MAX_JOB_LEN - 1) // _MAX_JOB_LEN
+        )
+        if (nsplit > 1).any():
+            sj = np.repeat(np.arange(len(tid), dtype=np.int64), nsplit)
+            si = _segment_arange(nsplit)
+            starts_all = starts_all[:, sj] + si[None, :] * _MAX_JOB_LEN
+            lens_all = np.clip(
+                lens_all[:, sj] - si[None, :] * _MAX_JOB_LEN, 0, _MAX_JOB_LEN
+            )
+            jquery, meta1, score = jquery[sj], meta1[sj], score[sj]
+        NJOBS = lens_all.shape[1]
+        words = np.zeros((n, NJOBS, 4), dtype=np.int32)
+        words[:, :, 0] = starts_all
+        words[:, :, 1] = lens_all | meta1[None, :]
+        words[:, :, 3] = score.view(np.int32)[None, :]
+
+        CP = C - 128
+        chunks_all = (lens_all + CP - 1) // CP
+        max_chunks = np.zeros(B, dtype=np.int64)
+        for s in range(n):
+            nch = np.bincount(
+                jquery, weights=chunks_all[s].astype(np.float64), minlength=B
+            )
+            np.maximum(max_chunks, nch.astype(np.int64), out=max_chunks)
+        from ..index.device import DeviceIndex
+
+        F = max(self.num_fields, 1)
+        over = np.flatnonzero(
+            max_chunks * F > DeviceIndex.LANES_PER_DISPATCH // C
+        )
+        if len(over):
+            fallback.extend(int(q) for q in over)
+            keep_j = ~np.isin(jquery, over)
+            jquery = jquery[keep_j]
+            words = words[:, keep_j]
+            max_chunks[over] = 0
+            if len(jquery) == 0:
+                return None, None, qlen, None, None, fallback
+        njobs = np.bincount(jquery, minlength=B)
+        return jquery, words, qlen, max_chunks, njobs, fallback
+
+    def _get_z2o_window_step(self, class_specs, k: int):
+        key = ("z2o", class_specs, k)
+        fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+
+        from ..ops.z2o_device import z2o_fast_step
+
+        mesh = self.mesh
+        n = self.n_shards
+        C = self.CHUNK
+        F = self.num_fields
+
+        def per_cell(rec_blk, words_blk, qlen_blk):
+            rec_l = rec_blk[0]
+            w = words_blk[0, 0]
+            ql = qlen_blk[0, 0]
+            outs = []
+            off = 0
+            qoff = 0
+            for b_pad, nj, nc in class_specs:
+                nwords = b_pad * nj * 4
+                jobs_l = w[off : off + nwords].reshape(b_pad, nj * 4)
+                off += nwords
+                ql_c = ql[qoff : qoff + b_pad]
+                qoff += b_pad
+                kk = min(k, nc * C * max(F, 1))
+                s, d_local = z2o_fast_step(
+                    chunk=C,
+                    k=kk,
+                    num_fields=F,
+                    num_chunks=nc,
+                    rec=rec_l,
+                    jobs_flat=jobs_l,
+                    qlen=ql_c,
+                )
+                if kk < k:
+                    s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+                    d_local = jnp.pad(d_local, ((0, 0), (0, k - kk)), constant_values=-1)
+                outs.append((s, d_local))
+            scores = jnp.concatenate([o[0] for o in outs], axis=0)
+            docs_local = jnp.concatenate([o[1] for o in outs], axis=0)
+            shard_id = jax.lax.axis_index("docs")
+            docs_global = jnp.where(docs_local >= 0, docs_local * n + shard_id, -1)
+            s_all = jax.lax.all_gather(scores, "docs")
+            d_all = jax.lax.all_gather(docs_global, "docs")
+            SB = scores.shape[0]
+            s_cat = jnp.moveaxis(s_all, 0, 1).reshape(SB, n * k)
+            d_cat = jnp.moveaxis(d_all, 0, 1).reshape(SB, n * k)
+            v, i = jax.lax.top_k(s_cat, k)
+            d = jnp.take_along_axis(d_cat, i, axis=1)
+            d = jnp.where(jnp.isfinite(v), d, -1)
+            packed = jnp.stack([jax.lax.bitcast_convert_type(v, jnp.int32), d], axis=1)
+            return packed[None, None]
+
+        fn = jax.jit(
+            jax.shard_map(
+                per_cell,
+                mesh=mesh,
+                in_specs=(
+                    P("docs", None, None),
+                    P("docs", "data", None),
+                    P("docs", "data", None),
+                ),
+                out_specs=P("docs", "data", None, None, None),
+                check_vma=False,
+            )
+        )
+        self._step_cache[key] = fn
+        return fn
+
+    def query_batch_z2o(
+        self,
+        queries: Sequence[str],
+        scorer=None,
+        tokenizer=whitespace_tokenizer,
+        top_k: Optional[int] = None,
+    ) -> "ShardedPendingBatch":
+        """Async zero-to-one batch over the mesh (fast program only;
+        shared-node / cap-exceeding queries run the vectorized host
+        lockstep).  Drain via ``.get()`` / ``.get_arrays()``."""
+        from ..models import zero_to_one as _z2o
+        from ..utils.metrics import metrics
+
+        k = top_k or self.config.default_top_k
+        B = len(queries)
+        metrics.inc("sharded_queries_submitted", B)
+        with metrics.timer("sharded/plan"):
+            jquery, words, qlen, max_chunks, njobs, fallback = self.plan_batch_z2o(
+                queries, tokenizer
+            )
+        host_rows = None
+        if fallback:
+            metrics.inc("device_fallback_queries", len(fallback))
+            plain = scorer is None or type(scorer) is _z2o.ZeroToOne
+            host_rows = {
+                qi: (
+                    _z2o.ZeroToOne.vectorized_query(
+                        self._index, queries[qi], tokenizer, top_k=k
+                    )
+                    if plain
+                    else self._index.query(
+                        queries[qi], scorer, tokenizer,
+                        [1.0] * self.num_fields, top_k=k,
+                    )
+                )
+                for qi in fallback
+            }
+        if jquery is None:
+            return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
+        n = self.n_shards
+        d_ax = int(self.mesh.shape["data"])
+
+        with metrics.timer("sharded/pack"):
+            nc_bucket = _bucket_vec(max_chunks, self.NC_BUCKETS, 4)
+            class_specs = []
+            layout = []
+            flat_parts = [[] for _ in range(n)]
+            qlen_parts = []
+            row_base = 0
+            for nc in np.unique(nc_bucket):
+                nc = int(nc)
+                members = np.flatnonzero((nc_bucket == nc) & (njobs > 0))
+                if len(members) == 0:
+                    continue
+                nj = _bucket(int(njobs[members].max()), self.NJ_BUCKETS, 4)
+                b_pad = max(8, 1 << (-(-len(members) // d_ax) - 1).bit_length())
+                rank = np.arange(len(members))
+                drow = rank // b_pad
+                dslot = rank % b_pad
+                jobs_cls = np.zeros((n, d_ax, b_pad, nj, 4), dtype=np.int32)
+                sel = np.isin(jquery, members)
+                jq = jquery[sel]
+                pos = _segment_arange(np.bincount(jq, minlength=B)[members])
+                r = np.searchsorted(members, jq)
+                jobs_cls[:, drow[r], dslot[r], pos] = words[:, sel]
+                qlen_cls = np.ones((d_ax, b_pad), np.float32)
+                qlen_cls[drow, dslot] = qlen[members]
+                for s in range(n):
+                    flat_parts[s].append(jobs_cls[s].reshape(d_ax, -1))
+                qlen_parts.append(qlen_cls)
+                class_specs.append((b_pad, nj, nc))
+                layout.append((members, drow, dslot, row_base))
+                row_base += b_pad
+            if not class_specs:
+                return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
+            buf = np.stack([np.concatenate(parts, axis=1) for parts in flat_parts])
+            qcat = np.concatenate(qlen_parts, axis=1)  # [d_ax, total_rows]
+            qbuf = np.broadcast_to(qcat[None], (n,) + qcat.shape).copy()
+
+        step = self._get_z2o_window_step(tuple(class_specs), k)
+        with metrics.timer("sharded/dispatch"):
+            buf_dev = jax.device_put(buf, NamedSharding(self.mesh, P("docs", "data", None)))
+            q_dev = jax.device_put(qbuf, NamedSharding(self.mesh, P("docs", "data", None)))
+            packed = step(self.rec, buf_dev, q_dev)
+        return ShardedPendingBatch(self, B, packed, layout, host_rows, k=k)
 
     # ------------------------------------------------------------------ #
     # execution                                                           #

@@ -222,3 +222,91 @@ class TestUnifiedRouting:
         from probly_search_tpu.utils.metrics import metrics
 
         assert metrics.counters["auto_sharded_batches"] >= 1
+
+
+class TestShardedZeroToOne:
+    """Sharded zero-to-one (fast program + host-lockstep fallback)."""
+
+    def _two_field_index(self, n=240, seed=17):
+        import random as _r
+
+        from probly_search_tpu import whitespace_tokenizer
+
+        rng = _r.Random(seed)
+        vocab = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 4)))
+                 for _ in range(50)]
+        ix = Index(2)
+        for i in range(n):
+            t = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3)))
+            b = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 5)))
+            ix.add_document(
+                [lambda d: [d[0]], lambda d: [d[1]]], whitespace_tokenizer, i, (t, b)
+            )
+        for i in range(0, n, 13):
+            ix.remove_document(i)
+        return ix, vocab
+
+    def _assert_z2o_rows(self, ix, queries, rows, k=10):
+        from probly_search_tpu import zero_to_one, whitespace_tokenizer
+
+        for q, row in zip(queries, rows):
+            oracle = ix.query(
+                q, zero_to_one.new(), whitespace_tokenizer, [1.0] * ix.num_fields
+            )[:k]
+            assert len(row) == len(oracle), (q, row, oracle)
+            np.testing.assert_allclose(
+                sorted(r.score for r in row),
+                sorted(r.score for r in oracle),
+                rtol=1e-5, atol=1e-7, err_msg=q,
+            )
+            full = {
+                r.key: r.score
+                for r in ix.query(
+                    q, zero_to_one.new(), whitespace_tokenizer, [1.0] * ix.num_fields
+                )
+            }
+            for r in row:
+                np.testing.assert_allclose(r.score, full[r.key], rtol=1e-5, atol=1e-7)
+
+    def test_sharded_z2o_matches_oracle(self):
+        import random as _r
+
+        from probly_search_tpu import zero_to_one
+
+        ix, vocab = self._two_field_index()
+        rng = _r.Random(23)
+        queries = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3)))
+            for _ in range(12)
+        ]
+        queries += ["", "zzzz", vocab[0][:1]]
+        t = vocab[3]
+        queries += [f"{t} {t}", f"{t[:1]} {t}"]  # shared-node -> host lockstep
+        mesh = make_mesh(data=2, docs=4)
+        sdix = ShardedDeviceIndex(ix, mesh)
+        rows = sdix.query_batch_z2o(queries, zero_to_one.new(), top_k=10).get()
+        self._assert_z2o_rows(ix, queries, rows)
+
+    def test_attach_mesh_routes_z2o(self):
+        from probly_search_tpu import zero_to_one
+
+        ix, vocab = self._two_field_index(n=120, seed=29)
+        ix.attach_mesh(make_mesh(data=1, docs=8))
+        queries = [vocab[0], f"{vocab[1]} {vocab[2]}"]
+        rows = ix.query_batch(queries, zero_to_one.new(), top_k=10)
+        self._assert_z2o_rows(ix, queries, rows)
+
+    def test_sharded_z2o_get_arrays(self):
+        from probly_search_tpu import zero_to_one
+
+        ix, vocab = self._two_field_index(n=100, seed=31)
+        sdix = ShardedDeviceIndex(ix, make_mesh(data=1, docs=8))
+        queries = [vocab[0], ""]
+        h = sdix.query_batch_z2o(queries, zero_to_one.new(), top_k=5)
+        scores, slots, keys = h.get_arrays()
+        rows = sdix.query_batch_z2o(queries, zero_to_one.new(), top_k=5).get()
+        valid = np.isfinite(scores[0])
+        assert int(valid.sum()) == len(rows[0])
+        for j, r in enumerate(rows[0]):
+            assert keys[0, j] == r.key
+            assert abs(scores[0, j] - r.score) < 1e-6

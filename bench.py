@@ -125,10 +125,10 @@ def main():
         return n_total / (time.perf_counter() - t5)
 
     sections = []
-    for s in range(3):
+    for s in range(5):
         sections.append(timed_section())
         log(f"timed section {s}: {sections[-1]:.0f} QPS")
-    qps = sorted(sections)[1]  # median of 3
+    qps = sorted(sections)[2]  # median of 5 (tunnel swings +-20%; VERDICT r1)
     scores_out, slots_out, keys_out = results_box[-1]
     assert scores_out.shape == (window, top_k) and keys_out.shape == (window, top_k)
     assert (slots_out[0] >= 0).any()
@@ -136,7 +136,7 @@ def main():
     p50 = lat_ms[len(lat_ms) // 2]
     p99 = lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]
     log(
-        f"timed: median {qps:.0f} QPS over 3 sections; "
+        f"timed: median {qps:.0f} QPS over 5 sections; "
         f"window latency p50 {p50:.0f}ms p99 {p99:.0f}ms ({len(lat_ms)} windows)"
     )
     snap = metrics.snapshot()

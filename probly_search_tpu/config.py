@@ -50,6 +50,13 @@ class IndexConfig:
     # Posting-chunk width of the device gather (lanes per DMA slice; 128 of
     # each chunk is Mosaic alignment slack).  0 = engine default.
     chunk_size: int = 0
+    # Compact device->host result format: the packed window result becomes
+    # int16[rows, 3, k] (f16 score bits, slot lo16, slot hi16) — 25% fewer
+    # bytes through the serving bottleneck (the D2H fetch, PERFORMANCE.md).
+    # Rankings are computed on device in f32 and unchanged; only the
+    # REPORTED scores are f16-quantized (~5e-4 relative), so this is
+    # opt-in and off by default to keep the f32 parity surface.
+    compact_results: bool = False
     # Fuse all shape classes of a query window into one jitted dispatch with
     # one packed input buffer and one packed result fetch (single device
     # round trip + single transfer pair per window).  Compiles once per

@@ -222,14 +222,25 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
     offsets = np.zeros(T + 1, dtype=np.int64)
     np.cumsum(counts_per_term, out=offsets[1:])
 
-    # _unescape_one is the identity on tables that never needed escaping
-    # (clean tables contain no \x01 at all).
-    terms = [_unescape_one(str(t)) for t in uniq]
+    # Unescape only when some table actually escaped (clean tables contain
+    # no \x01 at all — a vectorized scan beats 100k+ python replace calls),
+    # and byte lengths vectorized on the clean path (np.char.encode).
+    escaped = bool((np.char.find(uniq, "\x01") >= 0).any()) if T else False
+    if escaped:
+        terms = [_unescape_one(str(t)) for t in uniq]
+        term_lens = np.fromiter(
+            (len(t.encode("utf-8")) for t in terms), dtype=np.int32, count=T
+        )
+    else:
+        terms = [str(t) for t in uniq]
+        term_lens = (
+            np.char.str_len(np.char.encode(uniq, "utf-8")).astype(np.int32)
+            if T
+            else np.zeros(0, np.int32)
+        )
     seg = Segment(
         terms=terms,
-        term_lens=np.fromiter(
-            (len(t.encode("utf-8")) for t in terms), dtype=np.int32, count=T
-        ),
+        term_lens=term_lens,
         offsets=offsets,
         post_doc=post_doc,
         post_tf=post_tf,

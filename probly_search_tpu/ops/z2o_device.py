@@ -18,10 +18,23 @@ Device formulation (one XLA program per shape class):
   per (posting, field) with tf > 0, and sort lanes by
   (packed (doc, field) segment, score desc, enumeration seq) — the exact
   stable order of the host oracle.
-* The sequential consumption becomes a LOCKSTEP loop: step ``e`` processes
-  the e-th entry of every (doc, field) segment simultaneously.  The pool
-  rule "init tf-1, decrement, skip when exhausted" is equivalent to
-  "accept at most tf entries per (segment, node)", so the state is
+* TWO device programs, routed at plan time:
+
+  - ``z2o_fast_step`` (the serving path): when no expansion node is
+    claimed by two query-term instances, each node has at most one entry
+    per (doc, field) segment, the df pool can never exhaust, and the
+    consumption loop reduces exactly to "accept the best-scoring entry
+    per (doc, field, qterm)" — one stable sort + segmented reduces, the
+    same data-parallel shape as the BM25 merge.  Measured 11.7x the
+    lockstep program at the 50k-doc bench (PERFORMANCE.md r4).
+  - ``z2o_step`` (the exact general program) for shared-node queries
+    (duplicate query terms / overlapping prefix expansions).
+
+* In ``z2o_step`` the sequential consumption becomes a LOCKSTEP loop:
+  step ``e`` processes the e-th entry of every (doc, field) segment
+  simultaneously.  The pool rule "init tf-1, decrement, skip when
+  exhausted" is equivalent to "accept at most tf entries per (segment,
+  node)", so the state is
   - ``consumed``: per-segment bitmask over query-term indices, carried in
     every lane of the segment and propagated with a segmented bitwise-OR
     scan (monotone, so later steps only add bits);

@@ -203,3 +203,32 @@ class TestTermRangeJobs:
             assert [r.key for r in a_row] == [r.key for r in b_row]
             for a, b in zip(a_row, b_row):
                 assert abs(a.score - b.score) < 2e-5 * max(1.0, abs(b.score))
+
+
+class TestCompactResults:
+    def test_compact_matches_f32_rankings(self):
+        cfg = IndexConfig(compact_results=True)
+        rng = random.Random(5)
+        vocab = ["".join(rng.choice("abcdef") for _ in range(rng.randint(1, 4)))
+                 for _ in range(60)]
+        texts = [" ".join(rng.choice(vocab) for _ in range(4)) for _ in range(500)]
+        ix_c = Index(1, config=cfg)
+        ix_c.add_documents_columnar(list(range(500)), [texts])
+        ix_f = Index(1)
+        ix_f.add_documents_columnar(list(range(500)), [texts])
+        queries = [vocab[0], f"{vocab[1]} {vocab[2]}", "a", "zzz", ""]
+        hc = ix_c.device_index().query_batch_async(queries, bm25.new(), top_k=10)
+        hf = ix_f.device_index().query_batch_async(queries, bm25.new(), top_k=10)
+        sc, slc, kc = hc.get_arrays()
+        sf, slf, kf = hf.get_arrays()
+        assert sc.dtype == np.float32
+        # identical rankings (top-k computed in f32 on device either way)
+        assert (np.isfinite(sc) == np.isfinite(sf)).all()
+        m = np.isfinite(sf)
+        assert (slc[m] == slf[m]).all()
+        np.testing.assert_allclose(sc[m], sf[m], rtol=2e-3)
+        # object API decodes identically
+        rows_c = hc.get()
+        rows_f = hf.get()
+        for a_row, b_row in zip(rows_c, rows_f):
+            assert [r.key for r in a_row] == [r.key for r in b_row]

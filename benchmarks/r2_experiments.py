@@ -37,9 +37,27 @@ def main():
     log(f"devices: {jax.devices()}")
     from probly_search_tpu import Index, bm25, zero_to_one, whitespace_tokenizer
 
+    import os
+
     rng = np.random.default_rng(7)
 
     # ---------------- experiment 1: z2o batch size ----------------------- #
+    if os.environ.get("SKIP_Z2O"):
+        run_z2o = False
+    else:
+        run_z2o = True
+    if run_z2o:
+        _z2o_experiment(rng)
+
+    # ---------------- experiment 2: term-range queries at 1M ------------- #
+    _heavy_experiment()
+
+
+def _z2o_experiment(rng):
+    import time
+
+    from probly_search_tpu import Index, zero_to_one
+
     vocab = np.array(["w%04d" % i for i in range(4000)])
     weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.05
     cdf = np.cumsum(weights)
@@ -74,7 +92,12 @@ def main():
         print(json.dumps({"metric": f"z2o_qps_bs{bs}", "value": round(med, 1),
                           "unit": "queries/s", "vs_baseline": None}))
 
-    # ---------------- experiment 2: term-range queries at 1M ------------- #
+
+def _heavy_experiment():
+    import time
+
+    from probly_search_tpu import Index, bm25, whitespace_tokenizer
+
     from bench import make_corpus, make_queries
 
     t0 = time.time()

@@ -68,13 +68,34 @@ def main():
         log(f"warm {s + 512}/{n_queries} ({time.time() - t0:.0f}s)")
     ix.query_batch(queries, scorer, top_k=10, backend="device")
     log(f"warm full batch ({time.time() - t0:.0f}s)")
-    t1 = time.time()
-    n_passes = 3
-    for _ in range(n_passes):
-        rows = ix.query_batch(queries, scorer, top_k=10, backend="device")
-    elapsed = time.time() - t1
-    qps = n_passes * n_queries / elapsed
-    log(f"timed: {n_passes * n_queries} queries in {elapsed:.2f}s -> {qps:.0f} QPS")
+
+    # Timed: pipelined async windows drained through the columnar serving
+    # surface (z2o shares the BM25 engine's PendingBatch), median of 3
+    # sections (tunnel throughput swings minute to minute).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from probly_search_tpu.ops.z2o_device import z2o_query_batch_async
+
+    dix = ix.device_index()
+    n_passes = 6
+    depth = 3
+
+    def timed_section():
+        t1 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            futs = []
+            for _ in range(n_passes):
+                h = z2o_query_batch_async(dix, queries, whitespace_tokenizer, 10)
+                futs.append(pool.submit(h.get_arrays))
+                if len(futs) >= depth:
+                    futs.pop(0).result()
+            for f in futs:
+                f.result()
+        return n_passes * n_queries / (time.perf_counter() - t1)
+
+    sections = [timed_section() for _ in range(3)]
+    qps = sorted(sections)[1]
+    log(f"timed sections: {[f'{s:.0f}' for s in sections]} -> median {qps:.0f} QPS")
 
     # Parity vs the exact host oracle on a sample.
     sample = queries[:24]

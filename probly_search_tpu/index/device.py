@@ -996,8 +996,14 @@ class DeviceIndex:
             # Expansion-heavy classes (huge nc, usually singleton queries)
             # drop the 8-row minimum pad: they take the staged XLA path
             # (L > fused cap), where a [1, NC, C] gather is fine, and an
-            # 8x pad would multiply a near-budget gather into OOM.
-            min_pad = 1 if nc * C > (1 << 21) else 8
+            # 8x pad would multiply a near-budget gather into OOM.  ALL
+            # range classes pad to their real query count: the remote
+            # compiler handled every [1..2, L] range program in minutes but
+            # sat > 45 min on an [8, 512k-lane] one (r4 measurement) — and
+            # range queries are rare enough that small pads cost nothing.
+            min_pad = 1 if (rng or nc * C > (1 << 21)) else 8
+            if rng:
+                b_cap = min(b_cap, 2)
             for s in range(0, len(members), b_cap):
                 idxs = members[s : s + b_cap]
                 B = len(idxs)
@@ -1072,7 +1078,7 @@ class DeviceIndex:
                     for qi in fallback
                 }
         if plan is None:
-            return PendingBatch(self, len(queries), [], host_rows=host_rows)
+            return PendingBatch(self, len(queries), [], host_rows=host_rows, k=k)
         with metrics.timer("query/pack"):
             dispatches = self.pack_dispatches(len(queries), plan)
         metrics.inc("dispatches", len(dispatches))
@@ -1133,7 +1139,7 @@ class DeviceIndex:
                 row += b_out
             return PendingBatch(
                 self, len(queries), [], packed=packed, layout=layout,
-                host_rows=host_rows, compact=compact,
+                host_rows=host_rows, compact=compact, k=k,
             )
         step = _get_step(scorer)
         parts = []
@@ -1152,7 +1158,7 @@ class DeviceIndex:
                 use_ranges=rng,
             )
             parts.append((idxs, top_scores, top_docs))
-        return PendingBatch(self, len(queries), parts, host_rows=host_rows)
+        return PendingBatch(self, len(queries), parts, host_rows=host_rows, k=k)
 
     def to_results(self, top_scores: np.ndarray, top_docs: np.ndarray):
         out: List[List[QueryResult]] = []
@@ -1186,7 +1192,7 @@ class PendingBatch:
 
     def __init__(
         self, dix: "DeviceIndex", n: int, parts, packed=None, layout=None,
-        host_rows=None, compact=False,
+        host_rows=None, compact=False, k=None,
     ) -> None:
         self._dix = dix
         self._n = n
@@ -1195,6 +1201,9 @@ class PendingBatch:
         self._layout = layout  # [(query_indices, row_offset), ...]
         self._host_rows = host_rows  # {query_index: results} from fallback
         self._compact = compact
+        # Submitted top_k: sizes the result arrays when every query fell
+        # back to the host (no packed result to take k from).
+        self._k = k
 
     def _unpack(self):
         """Single D2H fetch + decode -> (scores f32[rows, k], slots
@@ -1237,7 +1246,7 @@ class PendingBatch:
 
         with metrics.timer("query/drain"):
             if self._packed is None:
-                k = self._parts[0][1].shape[-1] if self._parts else 0
+                k = self._parts[0][1].shape[-1] if self._parts else (self._k or 0)
                 scores = np.full((self._n, k), -np.inf, np.float32)
                 slots = np.full((self._n, k), -1, np.int32)
                 for idxs, top_scores, top_docs in self._parts:

@@ -135,15 +135,32 @@ class BM25(BaseScoreCalculator):
         idf = np.log(1.0 + (n_docs - freq + 0.5) / (freq + 0.5))
         return idf.astype(np.float32)
 
+    # ln(1+x)/x on [0, 1] as a power series (degree-9 Chebyshev fit; max
+    # relative error of x*P(x) vs ln(1+x) in f32 Horner: 1.4e-7 over all
+    # integer deltas — at the f32 noise floor).  Used instead of the
+    # hardware log1p: the TPU VPU's transcendental approximation measured
+    # ~1.25e-4 relative error on the expansion boost (r4 diagnostic),
+    # 1000x the f32 rounding budget the parity suite allows.
+    _LOG1P_RATIO_COEFFS = (
+        0.9999999869915193, -0.4999985092774396, 0.33329100870038264,
+        -0.2494782132315905, 0.19651539184497904, -0.15251556640920744,
+        0.10533368733399628, -0.05643612449615146, 0.019649622919934922,
+        -0.003214113138228588,
+    )
+
     def device_range_boost(self, term_len, qlen):
         """On-device expansion boost for range-job lanes (bm25.rs:44-55):
         1.0 for the exact term (within a prefix range, byte-length equality
-        implies identity), else ln(1 + 1/(1 + len(exp) - len(term)))."""
+        implies identity), else ln(1 + 1/(1 + len(exp) - len(term))) —
+        evaluated as x*P(x) with x = 1/(1+delta) (see _LOG1P_RATIO_COEFFS;
+        no hardware transcendental)."""
         import jax.numpy as jnp
 
-        return jnp.where(
-            term_len == qlen, 1.0, jnp.log1p(1.0 / (1.0 + term_len - qlen))
-        )
+        x = 1.0 / (1.0 + jnp.maximum(term_len - qlen, 0.0))
+        acc = jnp.asarray(self._LOG1P_RATIO_COEFFS[-1], x.dtype)
+        for c in self._LOG1P_RATIO_COEFFS[-2::-1]:
+            acc = acc * x + c
+        return jnp.where(term_len == qlen, 1.0, x * acc)
 
     def device_score_lanes(self, lanes):
         """Vectorized per-lane score (see index/device.py ScoreLanes layout:

@@ -589,20 +589,26 @@ def _get_z2o_window_step():
 
 
 def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
-    """Batched zero-to-one execution on the device snapshot.
+    """Blocking convenience over :func:`z2o_query_batch_async`."""
+    return z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=scorer).get()
 
-    One dispatch per shape class (bucketing mirrors the BM25 engine).
-    Returns list-of-result-rows; cap-exceeding queries degrade to the exact
-    host path.
+
+def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
+    """Plan + dispatch a zero-to-one batch without blocking.
+
+    Returns the same :class:`~probly_search_tpu.index.device.PendingBatch`
+    handle as the BM25 engine (the packed [rows, 2, k] result format is
+    shared), so z2o serving gets the columnar drain (``get_arrays``) and
+    window pipelining for free.  Cap-exceeding / shared-node-over-budget
+    queries degrade to the vectorized host lockstep.
     """
-    from ..index.device import _bucket, _bucket_vec, _segment_arange
-    from ..models.base import QueryResult
+    from ..index.device import PendingBatch, _bucket, _bucket_vec, _segment_arange
     from ..models import zero_to_one as _z2o
     from ..utils.metrics import metrics
 
     B = len(queries)
     k = top_k or dix.config.default_top_k
-    results = [[] for _ in range(B)]
+    host_rows = {}
     jquery, words, qlen, nchunks, njobs, fallback, shared = plan_batch_z2o(
         dix, queries, tokenizer
     )
@@ -614,7 +620,7 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
         metrics.inc("device_fallback_queries", len(fallback))
         plain = scorer is None or type(scorer) is _z2o.ZeroToOne
         for qi in fallback:
-            results[qi] = (
+            host_rows[qi] = (
                 _z2o.ZeroToOne.vectorized_query(
                     dix._index, queries[qi], tokenizer, top_k=k
                 )
@@ -624,7 +630,7 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
                 )
             )
     if jquery is None:
-        return results
+        return PendingBatch(dix, B, [], host_rows=host_rows, k=k)
 
     C = dix.CHUNK
     F = max(dix.num_fields, 1)
@@ -643,7 +649,7 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
     if huge.any():
         metrics.inc("z2o_host_vectorized_queries", int(huge.sum()))
         for qi in np.flatnonzero(huge & (njobs > 0)):
-            results[int(qi)] = _z2o.ZeroToOne.vectorized_query(
+            host_rows[int(qi)] = _z2o.ZeroToOne.vectorized_query(
                 dix._index, queries[int(qi)], tokenizer, top_k=k
             )
         nc_bucket = np.where(huge, -1, nc_bucket)
@@ -682,7 +688,7 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
                 layout.append((idxs, row))
                 row += b_out
     if not class_specs:
-        return results
+        return PendingBatch(dix, B, [], host_rows=host_rows, k=k)
     step = _get_z2o_window_step()
     packed = step(
         dix.rec,
@@ -693,16 +699,6 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
         num_fields=dix.num_fields,
         class_specs=tuple(class_specs),
     )
-    packed = np.asarray(packed)  # single D2H fetch drains the batch
-    p_scores = packed[:, 0, :].view(np.float32)
-    p_docs = packed[:, 1, :]
-    for idxs, r0 in layout:
-        ts = p_scores[r0 : r0 + len(idxs)]
-        td = p_docs[r0 : r0 + len(idxs)]
-        for qi, srow, drow in zip(idxs, ts, td):
-            results[int(qi)] = [
-                QueryResult(key=dix.slot_to_key[int(d)], score=float(sc))
-                for sc, d in zip(srow, drow)
-                if d >= 0 and np.isfinite(sc)
-            ][:k]
-    return results
+    return PendingBatch(
+        dix, B, [], packed=packed, layout=layout, host_rows=host_rows, k=k
+    )

@@ -70,7 +70,15 @@ def main():
     t1 = time.time()
     log(f"corpus gen: {t1 - t0:.1f}s")
 
-    ix = Index(1)
+    from probly_search_tpu import IndexConfig
+
+    # Serving mode: compact int16 result format (f16 scores + split slots)
+    # — 25% fewer fetched bytes through the drain, the serving pace-setter;
+    # won every interleaved A/B pair vs f32 (median 144k vs 131k QPS, r4).
+    # Parity policy: rankings are computed on device in f32 identically in
+    # both modes; only the REPORTED score is f16-quantized (~5e-4 rel).
+    # The parity/recall suites and the default API keep f32 results.
+    ix = Index(1, config=IndexConfig(compact_results=True))
     ix.add_documents_columnar(list(range(n_docs)), [texts])
     t2 = time.time()
     log(f"bulk index build: {t2 - t1:.1f}s ({n_docs / (t2 - t1):.0f} docs/s)")
@@ -170,6 +178,7 @@ def main():
                 "p99_window_ms": round(p99, 1),
                 "recall_at_10": round(recall, 4),
                 "window_size": window,
+                "result_format": "compact_int16",
                 "qps_sections": [round(s, 1) for s in sections],
             }
         )

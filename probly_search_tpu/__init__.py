@@ -32,7 +32,17 @@ from .models.base import ScoreCalculator, TermData, FieldData
 from .models import bm25, zero_to_one
 from .utils.tokenizers import whitespace_tokenizer
 
-__version__ = "0.1.0"
+
+def make_mesh(*args, **kwargs):
+    """Build a ("data", "docs") device mesh for multi-chip serving — see
+    :func:`probly_search_tpu.parallel.make_mesh` (lazy import: constructing
+    a mesh touches the JAX backend; plain indexing should not)."""
+    from .parallel import make_mesh as _mm
+
+    return _mm(*args, **kwargs)
+
+
+__version__ = "0.2.0"
 
 __all__ = [
     "Index",
@@ -47,4 +57,5 @@ __all__ = [
     "bm25",
     "zero_to_one",
     "whitespace_tokenizer",
+    "make_mesh",
 ]

@@ -609,9 +609,10 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
     B = len(queries)
     k = top_k or dix.config.default_top_k
     host_rows = {}
-    jquery, words, qlen, nchunks, njobs, fallback, shared = plan_batch_z2o(
-        dix, queries, tokenizer
-    )
+    with metrics.timer("z2o/plan"):
+        jquery, words, qlen, nchunks, njobs, fallback, shared = plan_batch_z2o(
+            dix, queries, tokenizer
+        )
     if fallback:
         # Cap-exceeding queries run the vectorized host lockstep —
         # bit-identical to the exact oracle, milliseconds instead of a
@@ -655,6 +656,7 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
         nc_bucket = np.where(huge, -1, nc_bucket)
     # Pack every class's job table + qlen vector into one flat buffer and
     # run the batch as ONE device program with one packed result fetch.
+    _t_pack = metrics.timer("z2o/pack"); _t_pack.__enter__()
     class_specs = []
     layout = []  # (query_indices, row_offset)
     word_parts = []
@@ -687,18 +689,20 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
                 class_specs.append((B_pad, b_out, nj, nc, fast_mode))
                 layout.append((idxs, row))
                 row += b_out
+    _t_pack.__exit__(None, None, None)
     if not class_specs:
         return PendingBatch(dix, B, [], host_rows=host_rows, k=k)
     step = _get_z2o_window_step()
-    packed = step(
-        dix.rec,
-        jnp.asarray(np.concatenate(word_parts)),
-        jnp.asarray(np.concatenate(qlen_parts)),
-        chunk=C,
-        k=k,
-        num_fields=dix.num_fields,
-        class_specs=tuple(class_specs),
-    )
+    with metrics.timer("z2o/dispatch"):
+        packed = step(
+            dix.rec,
+            jnp.asarray(np.concatenate(word_parts)),
+            jnp.asarray(np.concatenate(qlen_parts)),
+            chunk=C,
+            k=k,
+            num_fields=dix.num_fields,
+            class_specs=tuple(class_specs),
+        )
     return PendingBatch(
         dix, B, [], packed=packed, layout=layout, host_rows=host_rows, k=k
     )

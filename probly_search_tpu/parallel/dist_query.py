@@ -116,6 +116,12 @@ class ShardedDeviceIndex:
             shard_rows.append(sel)
             pmax = max(pmax, len(sel))
         self.offsets_sh = offsets_sh
+        # Global posting -> rows per shard (kept for the lazy aux build —
+        # term-range jobs need per-posting statics in shard order).
+        self._shard_rows = shard_rows
+        self._term_of_post = term_of_post
+        self._pmax = pmax
+        self._aux_cache: Dict[Any, Any] = {}
         # Transposed per-shard record arrays [n, R, Pmax + C] (see
         # index/device.py layout note).
         rec = np.zeros((n, R, pmax + C), dtype=np.int32)
@@ -144,6 +150,34 @@ class ShardedDeviceIndex:
         self.slot_to_key = list(index._slot_to_key)
         self._qterm_bits = _QT_BITS
         self._step_cache: Dict[Any, Any] = {}
+
+    def _aux_rec(self, scorer):
+        """Per-shard aux record array int32[n, 4, Pmax + C] for term-range
+        jobs (mirrors DeviceIndex._aux_rec): row 0 = f32 bits of the
+        scorer's static per-term scale over the GLOBAL live df, row 1 =
+        term utf-8 byte length.  Built lazily; sharded over "docs"."""
+        key = getattr(scorer, "device_cache_key", lambda: ("id", id(scorer)))()
+        cached = self._aux_cache.get(key)
+        if cached is not None:
+            return cached
+        n = self.n_shards
+        C = self.CHUNK
+        aux = np.zeros((n, 4, self._pmax + C), dtype=np.int32)
+        gdf = (
+            self.g_live_cum[self.g_offsets[1:]] - self.g_live_cum[self.g_offsets[:-1]]
+        ).astype(np.float64)
+        static = np.asarray(scorer.device_term_static(gdf, self.n_docs), np.float32)
+        tlens = np.asarray(self.term_lens, np.int32)
+        for s in range(n):
+            sel = self._shard_rows[s]
+            m = len(sel)
+            if m:
+                t = self._term_of_post[sel]
+                aux[s, 0, :m] = static[t].view(np.int32)
+                aux[s, 1, :m] = tlens[t]
+        arr = jax.device_put(aux, NamedSharding(self.mesh, P("docs", None, None)))
+        self._aux_cache[key] = arr
+        return arr
 
     # ------------------------------------------------------------------ #
     # planning                                                            #
@@ -183,6 +217,19 @@ class ShardedDeviceIndex:
         nexp = hi - lo
         if nexp.max(initial=0) == 0:
             return None, fallback
+        # Term-range eligibility (mirrors index/device.py _term_plans): an
+        # expansion-heavy term becomes ONE per-shard job over its whole
+        # contiguous CSR range, scale assembled on device from the aux rows.
+        thr = cfg.range_min_expansions
+        supports_ranges = (
+            thr > 0
+            and hasattr(scorer, "device_term_static")
+            and hasattr(scorer, "device_range_boost")
+        )
+        eligible = (
+            nexp >= thr if supports_ranges else np.zeros(total_terms, dtype=bool)
+        )
+        nexp = np.where(eligible, 0, nexp)
         tid = np.repeat(lo, nexp) + _segment_arange(nexp)
         jidx = np.repeat(np.arange(total_terms, dtype=np.int64), nexp)
 
@@ -194,7 +241,9 @@ class ShardedDeviceIndex:
         ).astype(np.float64)
         keep = jdf > 0
         tid, jidx, jdf = tid[keep], jidx[keep], jdf[keep]
-        if len(tid) == 0:
+        # Range jobs for eligible terms (one per term over [lo, hi)).
+        r_i = np.flatnonzero(eligible & (hi > lo))
+        if len(tid) == 0 and len(r_i) == 0:
             return None, fallback
 
         # Expansion cap -> per-query host fallback (only when configured;
@@ -212,7 +261,7 @@ class ShardedDeviceIndex:
             fallback.extend(sorted(bad))
             keep2 = ~np.isin(flat_query[jidx], np.fromiter(bad, dtype=np.int64))
             tid, jidx, jdf = tid[keep2], jidx[keep2], jdf[keep2]
-            if len(tid) == 0:
+            if len(tid) == 0 and len(r_i) == 0:
                 return None, fallback
         jquery = flat_query[jidx]
 
@@ -233,11 +282,35 @@ class ShardedDeviceIndex:
         meta1 = (flat_qterm[jidx] << _LEN_BITS).astype(np.int64)
         starts_all = self.offsets_sh[:, tid]  # [n, J]
         lens_all = (self.offsets_sh[:, tid + 1] - starts_all).astype(np.int64)
+        jrange = np.zeros(len(jidx), dtype=bool)
+        if len(r_i):
+            # Per-shard CSR follows the global term order, so a term range
+            # [lo, hi) is contiguous on every shard.
+            starts_all = np.concatenate(
+                [starts_all, self.offsets_sh[:, lo[r_i]]], axis=1
+            )
+            lens_all = np.concatenate(
+                [
+                    lens_all,
+                    (self.offsets_sh[:, hi[r_i]] - self.offsets_sh[:, lo[r_i]]).astype(
+                        np.int64
+                    ),
+                ],
+                axis=1,
+            )
+            jquery = np.concatenate([jquery, flat_query[r_i]])
+            meta1 = np.concatenate(
+                [meta1, (flat_qterm[r_i] << _LEN_BITS).astype(np.int64)]
+            )
+            scale = np.concatenate(
+                [scale, flat_blen[r_i].astype(np.int32).view(np.float32)]
+            )
+            jrange = np.concatenate([jrange, np.ones(len(r_i), bool)])
         nsplit = np.maximum(
             1, (lens_all.max(axis=0) + _MAX_JOB_LEN - 1) // _MAX_JOB_LEN
         )
         if (nsplit > 1).any():
-            sj = np.repeat(np.arange(len(tid), dtype=np.int64), nsplit)
+            sj = np.repeat(np.arange(lens_all.shape[1], dtype=np.int64), nsplit)
             si = _segment_arange(nsplit)
             starts_all = starts_all[:, sj] + si[None, :] * _MAX_JOB_LEN
             lens_all = np.clip(
@@ -246,11 +319,22 @@ class ShardedDeviceIndex:
             jquery = jquery[sj]
             meta1 = meta1[sj]
             scale = scale[sj]
+            jrange = jrange[sj]
         NJOBS = lens_all.shape[1]
         words = np.empty((n, NJOBS, 3), dtype=np.int32)
         words[:, :, 0] = starts_all
-        words[:, :, 1] = lens_all | meta1[None, :]
+        words[:, :, 1] = lens_all | meta1[None, :] | (jrange.astype(np.int64) << 30)
         words[:, :, 2] = scale.view(np.int32)[None, :]
+        has_range = (
+            np.bincount(jquery, weights=jrange.astype(np.float64), minlength=B) > 0
+        )
+        if len(r_i):
+            # The window packer requires each query's jobs contiguous
+            # (appended range jobs broke the grouping).
+            order = np.argsort(jquery, kind="stable")
+            jquery = jquery[order]
+            words = words[:, order]
+            lens_all = lens_all[:, order]
         max_chunks = np.zeros(B, dtype=np.int64)
         CP = C - 128
         chunks_all = (lens_all + CP - 1) // CP  # [n, NJOBS]
@@ -273,10 +357,11 @@ class ShardedDeviceIndex:
             jquery = jquery[keep_j]
             words = words[:, keep_j]
             max_chunks[over_lanes] = 0
+            has_range[over_lanes] = False
             if len(jquery) == 0:
                 return None, fallback
         njobs = np.bincount(jquery, minlength=B)
-        return (jquery, words, max_chunks, njobs), fallback
+        return (jquery, words, max_chunks, njobs, has_range), fallback
 
     # ------------------------------------------------------------------ #
     # zero-to-one planning (two-phase scorer; SURVEY §7 M4)                #
@@ -581,12 +666,13 @@ class ShardedDeviceIndex:
         C = self.CHUNK
         qb = self._qterm_bits
 
-        def per_cell(rec_blk, words_blk, field_avg, fields_boost):
+        def per_cell(rec_blk, words_blk, field_avg, fields_boost, aux_blk):
             rec_l = rec_blk[0]  # [R, Pmax + C]
             w = words_blk[0, 0]  # [total_words] int32
+            aux_l = aux_blk[0]
             outs = []
             off = 0
-            for b_pad, nj, nc in class_specs:
+            for b_pad, nj, nc, rng in class_specs:
                 nwords = b_pad * nj * 3
                 jobs_l = w[off : off + nwords].reshape(b_pad, nj * 3)
                 off += nwords
@@ -602,6 +688,8 @@ class ShardedDeviceIndex:
                     field_avg=field_avg,
                     fields_boost=fields_boost,
                     jobs_flat=jobs_l,
+                    aux=aux_l,
+                    use_ranges=rng,
                 )
                 if kk < k:
                     s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
@@ -627,7 +715,13 @@ class ShardedDeviceIndex:
             jax.shard_map(
                 per_cell,
                 mesh=mesh,
-                in_specs=(P("docs", None, None), P("docs", "data", None), P(), P()),
+                in_specs=(
+                    P("docs", None, None),
+                    P("docs", "data", None),
+                    P(),
+                    P(),
+                    P("docs", None, None),
+                ),
                 out_specs=P("docs", "data", None, None, None),
                 # pallas_call inside shard_map cannot express per-output
                 # `vma` on its ShapeDtypeStructs, so the varying-mesh-axes
@@ -687,45 +781,63 @@ class ShardedDeviceIndex:
             }
         if planned is None:
             return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
-        jquery, words, max_chunks, njobs = planned
+        jquery, words, max_chunks, njobs, has_range = planned
         n = self.n_shards
         d_ax = int(self.mesh.shape["data"])
 
         # Shape classes (same bucketing as the single-chip engine), packed
-        # into one flat per-(shard, data) buffer.
+        # into one flat per-(shard, data) buffer.  Range-carrying queries
+        # form separate classes (aux gather + full-sort merge), padded to
+        # at most 2 rows per data cell — the remote compiler handles
+        # narrow-row range programs but pathologically mishandles 8-row
+        # ones (PERFORMANCE.md r4).
         with metrics.timer("sharded/pack"):
             nc_bucket = _bucket_vec(max_chunks, self.NC_BUCKETS, 4)
             class_specs = []
             layout = []  # (query_indices, data_rows, data_slots, row_offset)
             flat_parts = [[] for _ in range(n)]
             row_base = 0
-            for nc in np.unique(nc_bucket):
-                nc = int(nc)
-                members = np.flatnonzero((nc_bucket == nc) & (njobs > 0))
-                if len(members) == 0:
-                    continue
-                nj = _bucket(int(njobs[members].max()), self.NJ_BUCKETS, 4)
-                b_pad = max(8, 1 << (-(-len(members) // d_ax) - 1).bit_length())
-                rank = np.arange(len(members))
-                drow = rank // b_pad
-                dslot = rank % b_pad
-                jobs_cls = np.zeros((n, d_ax, b_pad, nj, 3), dtype=np.int32)
-                sel = np.isin(jquery, members)
-                jq = jquery[sel]
-                pos = _segment_arange(np.bincount(jq, minlength=B)[members])
-                r = np.searchsorted(members, jq)
-                jobs_cls[:, drow[r], dslot[r], pos] = words[:, sel]
-                for s in range(n):
-                    flat_parts[s].append(jobs_cls[s].reshape(d_ax, -1))
-                class_specs.append((b_pad, nj, nc))
-                layout.append((members, drow, dslot, row_base))
-                row_base += b_pad
+            for rng_mode in (False, True):
+                mode_sel = has_range if rng_mode else ~has_range
+                cap = (2 * d_ax) if rng_mode else None
+                for nc in np.unique(nc_bucket[mode_sel & (njobs > 0)]):
+                    nc = int(nc)
+                    all_members = np.flatnonzero(
+                        (nc_bucket == nc) & (njobs > 0) & mode_sel
+                    )
+                    if len(all_members) == 0:
+                        continue
+                    nj = _bucket(int(njobs[all_members].max()), self.NJ_BUCKETS, 4)
+                    step_sz = cap or len(all_members)
+                    for s0 in range(0, len(all_members), step_sz):
+                        members = all_members[s0 : s0 + step_sz]
+                        b_pad = (
+                            max(8, 1 << (-(-len(members) // d_ax) - 1).bit_length())
+                            if not rng_mode
+                            else max(1, 1 << (-(-len(members) // d_ax) - 1).bit_length())
+                        )
+                        rank = np.arange(len(members))
+                        drow = rank // b_pad
+                        dslot = rank % b_pad
+                        jobs_cls = np.zeros((n, d_ax, b_pad, nj, 3), dtype=np.int32)
+                        sel = np.isin(jquery, members)
+                        jq = jquery[sel]
+                        pos = _segment_arange(np.bincount(jq, minlength=B)[members])
+                        r = np.searchsorted(members, jq)
+                        jobs_cls[:, drow[r], dslot[r], pos] = words[:, sel]
+                        for s in range(n):
+                            flat_parts[s].append(jobs_cls[s].reshape(d_ax, -1))
+                        class_specs.append((b_pad, nj, nc, rng_mode))
+                        layout.append((members, drow, dslot, row_base))
+                        row_base += b_pad
             if not class_specs:
                 return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
             buf = np.stack(
                 [np.concatenate(parts, axis=1) for parts in flat_parts]
             )  # [n, d_ax, total_words]
 
+        any_ranges = any(rng for *_s, rng in class_specs)
+        aux = self._aux_rec(scorer) if any_ranges else self._aux_dummy()
         step = self._get_window_step(scorer, tuple(class_specs), k)
         with metrics.timer("sharded/dispatch"):
             buf_dev = jax.device_put(buf, NamedSharding(self.mesh, P("docs", "data", None)))
@@ -734,8 +846,19 @@ class ShardedDeviceIndex:
                 buf_dev,
                 self.field_avg,
                 jnp.asarray(np.asarray(fields_boost, dtype=np.float32)),
+                aux,
             )
         return ShardedPendingBatch(self, B, packed, layout, host_rows, k=k)
+
+    def _aux_dummy(self):
+        d = self._aux_cache.get("dummy")
+        if d is None:
+            d = jax.device_put(
+                np.zeros((self.n_shards, 4, 8), np.int32),
+                NamedSharding(self.mesh, P("docs", None, None)),
+            )
+            self._aux_cache["dummy"] = d
+        return d
 
 
 class ShardedPendingBatch:

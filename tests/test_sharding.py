@@ -98,7 +98,7 @@ def test_sharded_multiple_shape_classes_one_window():
     queries = ["light3", "heavy", "light7 heavy", "light1 light2"]
     planned, fb = sdix.plan_batch(queries, tokenizer, bm25.new())
     assert fb == []
-    _, _, max_chunks, _ = planned
+    _, _, max_chunks, _, _ = planned
     # The queries land in different nc buckets (the prefix query needs 11
     # one-chunk jobs, the heavy term 8 chunks in one job) — several shape
     # classes inside one window program.
@@ -310,3 +310,33 @@ class TestShardedZeroToOne:
         for j, r in enumerate(rows[0]):
             assert keys[0, j] == r.key
             assert abs(scores[0, j] - r.score) < 1e-6
+
+
+def test_sharded_term_range_jobs():
+    """Expansion-heavy queries run on the mesh via per-shard range jobs."""
+    from probly_search_tpu import IndexConfig
+
+    rng = random.Random(41)
+    prefixed = ["qq" + "".join(rng.choice("rstu") for _ in range(j % 3 + 1))
+                for j in range(30)]
+    vocab = sorted(set(prefixed)) + ["zz1", "zz2"]
+    ix = Index(1, config=IndexConfig(range_min_expansions=4))
+    texts = [" ".join(rng.choice(vocab) for _ in range(4)) for _ in range(400)]
+    ix.add_documents_columnar(list(range(400)), [texts])
+    for i in range(0, 400, 23):
+        ix.remove_document(i)
+    mesh = make_mesh(data=2, docs=4)
+    sdix = ShardedDeviceIndex(ix, mesh)
+    queries = ["qq", "qqr", "qq zz1", "zz2", "q"]
+    planned, fb = sdix.plan_batch(queries, tokenizer, bm25.new())
+    assert fb == []
+    assert list(planned[4]) == [True, True, True, False, True]  # has_range
+    rows = sdix.query_batch(queries, bm25.new(), top_k=10)
+    for q, sh in zip(queries, rows):
+        full = {r.key: r.score for r in ix.query(q, bm25.new(), tokenizer, [1.0])}
+        want = ix.query(q, bm25.new(), tokenizer, [1.0], top_k=10)
+        assert len(sh) == len(want), q
+        for a, b in zip(sh, want):
+            assert abs(a.score - b.score) < 2e-5 * max(1.0, abs(b.score)), q
+        for a in sh:
+            assert abs(a.score - full[a.key]) < 2e-5 * max(1.0, abs(full[a.key])), q

@@ -23,6 +23,35 @@ from ..models.base import DocumentDetails
 from .segment import Segment, _unescape_one, escape_terms_fixed
 
 
+def _alloc_doc_rows(index, keys, field_length, is_last) -> int:
+    """Allocate doc slots for a batch: grow the slot arrays, write
+    field_length/liveness rows, register keys and live DocumentDetails.
+    Returns the base slot."""
+    n_new = len(keys)
+    F = field_length.shape[1]
+    base_slot = index._next_slot
+    need = base_slot + n_new
+    if need > len(index._alive):
+        new_cap = max(need, len(index._alive) * 2)
+        doc_len = np.zeros((new_cap, F), dtype=np.int64)
+        doc_len[: len(index._doc_len)] = index._doc_len
+        alive = np.zeros(new_cap, dtype=bool)
+        alive[: len(index._alive)] = index._alive
+        index._doc_len = doc_len
+        index._alive = alive
+    index._doc_len[base_slot : base_slot + n_new] = field_length
+    index._alive[base_slot : base_slot + n_new] = is_last
+    index._next_slot = base_slot + n_new
+    index._slot_to_key.extend(keys)
+    for i, k in enumerate(keys):
+        if is_last[i]:
+            index._key_to_slot[k] = base_slot + i
+            # field_length rows are views into the doc matrix (values are
+            # copied forward on growth, so views stay correct).
+            index._docs[k] = DocumentDetails(key=k, field_length=field_length[i])
+    return base_slot
+
+
 def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], tokenizer) -> None:
     """Add many documents at once from columnar text.
 
@@ -75,7 +104,44 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
 
     use_native = tokenizer is _default_tok
     if use_native:
-        from ..native import tokenize_index_native
+        from ..native import tokenize_csr_native, tokenize_index_native
+
+    # --- single-field native one-shot CSR fast path -----------------------
+    # tokenize + intern + tf counting + CSR pack all in one C++ pass
+    # (O(tokens + postings)); the numpy pair machinery below costs several
+    # 8M-element packed sorts per 1M docs (PERFORMANCE.md r4).
+    if (
+        use_native
+        and F == 1
+        and not any(not isinstance(x, str) for x in field_texts[0])
+    ):
+        csr = tokenize_csr_native(list(field_texts[0]))
+        if csr is not None:
+            terms, term_lens, offsets, post_doc_local, post_tf1, lens = csr
+            field_length = np.asarray(lens, np.int64).reshape(n_new, 1)
+            base_slot = _alloc_doc_rows(index, keys, field_length, is_last)
+            n_docs_after = len(index._docs)
+            fd = index._fields[0]
+            fd.sum += int(field_length[:, 0].sum()) - int(
+                field_length[~is_last, 0].sum()
+            )
+            fd.avg = fd.sum / float(n_docs_after)
+            if len(post_doc_local):
+                index._segments.append(
+                    Segment(
+                        terms=terms,
+                        term_lens=np.asarray(term_lens, np.int32),
+                        offsets=np.asarray(offsets, np.int64),
+                        post_doc=(post_doc_local.astype(np.int64) + base_slot).astype(
+                            np.int32
+                        ),
+                        post_tf=post_tf1.reshape(-1, 1).astype(np.int32),
+                        post_occ=post_tf1.astype(np.int32),
+                    )
+                )
+            index._version += 1
+            return
+
     per_field_occ: List[np.ndarray] = []  # field-local sorted-table ids per occurrence
     per_field_table: List[np.ndarray] = []  # field-local sorted term tables
     per_field_docrep: List[np.ndarray] = []
@@ -138,27 +204,8 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
     )
 
     # --- allocate doc slots ----------------------------------------------
-    base_slot = index._next_slot
-    need = base_slot + n_new
-    if need > len(index._alive):
-        new_cap = max(need, len(index._alive) * 2)
-        doc_len = np.zeros((new_cap, F), dtype=np.int64)
-        doc_len[: len(index._doc_len)] = index._doc_len
-        alive = np.zeros(new_cap, dtype=bool)
-        alive[: len(index._alive)] = index._alive
-        index._doc_len = doc_len
-        index._alive = alive
+    base_slot = _alloc_doc_rows(index, keys, field_length, is_last)
     slots = np.arange(base_slot, base_slot + n_new, dtype=np.int64)
-    index._doc_len[base_slot : base_slot + n_new] = field_length
-    index._alive[base_slot : base_slot + n_new] = is_last
-    index._next_slot = base_slot + n_new
-    index._slot_to_key.extend(keys)
-    for i, k in enumerate(keys):
-        if is_last[i]:
-            index._key_to_slot[k] = base_slot + i
-            # field_length rows are views into the doc matrix (values are
-            # copied forward on growth, so views stay correct).
-            index._docs[k] = DocumentDetails(key=k, field_length=field_length[i])
 
     # --- field stats (end-state of sequential bookkeeping; duplicates'
     # earlier occurrences net to zero through the remove) ------------------
@@ -209,8 +256,14 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
     pair_fields = np.concatenate(pair_field_parts)
     pair_tf = np.concatenate(pair_tf_parts)
 
-    # Group across fields: one posting row per distinct (term, doc).
-    row_keys, row_idx = np.unique(pair_keys, return_inverse=True)
+    # Group across fields: one posting row per distinct (term, doc).  With
+    # one field the per-field keys are already sorted-unique (np.unique
+    # output) — re-uniquing 8M keys measured ~6s/1M docs for nothing.
+    if len(pair_keys_parts) == 1:
+        row_keys = pair_keys
+        row_idx = np.arange(len(row_keys), dtype=np.int64)
+    else:
+        row_keys, row_idx = np.unique(pair_keys, return_inverse=True)
     P = len(row_keys)
     post_tf = np.zeros((P, F), dtype=np.int32)
     post_tf[row_idx, pair_fields] = pair_tf

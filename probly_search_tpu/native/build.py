@@ -31,6 +31,20 @@ class _TokenizeResult(ctypes.Structure):
     ]
 
 
+class _CsrResult(ctypes.Structure):
+    _fields_ = [
+        ("terms_blob", ctypes.POINTER(ctypes.c_char)),
+        ("terms_blob_len", ctypes.c_int64),
+        ("term_byte_lens", ctypes.POINTER(ctypes.c_int32)),
+        ("n_terms", ctypes.c_int64),
+        ("offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("post_doc", ctypes.POINTER(ctypes.c_int32)),
+        ("post_tf", ctypes.POINTER(ctypes.c_int32)),
+        ("n_postings", ctypes.c_int64),
+        ("doc_token_counts", ctypes.POINTER(ctypes.c_int64)),
+    ]
+
+
 def _build() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
         cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
@@ -50,6 +64,14 @@ def _build() -> Optional[ctypes.CDLL]:
     ]
     lib.psearch_free_result.argtypes = [ctypes.POINTER(_TokenizeResult)]
     lib.psearch_free_result.restype = None
+    lib.psearch_tokenize_csr.restype = ctypes.POINTER(_CsrResult)
+    lib.psearch_tokenize_csr.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
+    lib.psearch_free_csr.argtypes = [ctypes.POINTER(_CsrResult)]
+    lib.psearch_free_csr.restype = None
     return lib
 
 
@@ -118,3 +140,49 @@ def tokenize_index_native(
     finally:
         lib.psearch_free_result(res)
     return term_ids, counts, terms, term_lens
+
+
+def tokenize_csr_native(texts: List[str]):
+    """One-shot native CSR build for a single-field column: tokenize +
+    intern + per-(term, doc) tf + counting-sort CSR pack, O(tokens +
+    postings) in C++ (the numpy pair-packing path costs multiple
+    8M-element sorts per 1M docs).
+
+    Returns ``(terms list[str] (sorted), term_lens int32[T],
+    offsets int64[T+1], post_doc int32[P] (batch doc index),
+    post_tf int32[P], tokens_per_doc int64[D])`` or None when the native
+    lib is unavailable.  Default whitespace tokenizer semantics only.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    encoded = [t.encode("utf-8") for t in texts]
+    offs = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offs[1:])
+    blob = b"".join(encoded)
+
+    res = lib.psearch_tokenize_csr(
+        blob, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(texts)
+    )
+    try:
+        r = res.contents
+        T = int(r.n_terms)
+        P = int(r.n_postings)
+        term_lens = np.ctypeslib.as_array(r.term_byte_lens, shape=(max(T, 1),))[:T].copy()
+        offsets = np.ctypeslib.as_array(r.offsets, shape=(T + 1,)).copy()
+        post_doc = np.ctypeslib.as_array(r.post_doc, shape=(max(P, 1),))[:P].copy()
+        post_tf = np.ctypeslib.as_array(r.post_tf, shape=(max(P, 1),))[:P].copy()
+        counts = np.ctypeslib.as_array(r.doc_token_counts, shape=(max(len(texts), 1),))[
+            : len(texts)
+        ].copy()
+        blob_out = ctypes.string_at(r.terms_blob, int(r.terms_blob_len))
+        starts = np.zeros(T, dtype=np.int64)
+        if T:
+            np.cumsum(term_lens[:-1] + 1, out=starts[1:])
+        terms = [
+            blob_out[s : s + l].decode("utf-8")
+            for s, l in zip(starts.tolist(), term_lens.tolist())
+        ]
+    finally:
+        lib.psearch_free_csr(res)
+    return terms, term_lens, offsets, post_doc, post_tf, counts

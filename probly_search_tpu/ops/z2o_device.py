@@ -609,6 +609,16 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
     B = len(queries)
     k = top_k or dix.config.default_top_k
     host_rows = {}
+    if dix.num_fields > 8:
+        # Both z2o sort keys pack the field index into 3 bits; wider
+        # schemas run the bit-exact vectorized host lockstep.
+        rows = {
+            qi: _z2o.ZeroToOne.vectorized_query(
+                dix._index, queries[qi], tokenizer, top_k=k
+            )
+            for qi in range(B)
+        }
+        return PendingBatch(dix, B, [], host_rows=rows, k=k)
     with metrics.timer("z2o/plan"):
         jquery, words, qlen, nchunks, njobs, fallback, shared = plan_batch_z2o(
             dix, queries, tokenizer

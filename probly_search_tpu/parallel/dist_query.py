@@ -387,9 +387,10 @@ class ShardedDeviceIndex:
 
         tok_lists = [list(tokenizer(q)) for q in queries]
         qlen = np.array([len(t) for t in tok_lists], dtype=np.float32)
-        if self.local_slots >= (1 << 24):
-            # The fast z2o sort key packs local_doc << 7 into int32; bigger
-            # shards route everything to the vectorized host lockstep.
+        if self.local_slots >= (1 << 24) or self.num_fields > 8:
+            # The fast z2o sort key packs local_doc << 7 | field << 4 into
+            # int32; bigger shards or wider schemas route everything to the
+            # vectorized host lockstep.
             fallback.extend(range(B))
             return None, None, qlen, None, None, fallback
         filt = [[t for t in toks if t] for toks in tok_lists]

@@ -151,3 +151,22 @@ def test_mixed_fast_slow_batch_matches_oracle():
         queries.append(f"{t} {t}")        # shared via duplicates
         queries.append(f"{t[:1]} {t}")    # shared via overlapping prefixes (often)
     _assert_matches_oracle(ix, queries)
+
+
+def test_wide_schema_routes_to_host_lockstep():
+    """The z2o sort keys pack field indices into 3 bits; 9+ fields must run
+    the bit-exact vectorized host lockstep instead."""
+    F = 9
+    ix = Index(F)
+    accessors = [lambda d, j=j: [d[j]] for j in range(F)]
+    for i in range(12):
+        ix.add_document(accessors, tokenizer, i,
+                        tuple(f"w{(i + j) % 5}" for j in range(F)))
+    queries = ["w1", "w2 w3"]
+    rows = ix.query_batch(queries, zero_to_one.new(), tokenizer, top_k=5,
+                          backend="device")
+    for q, row in zip(queries, rows):
+        oracle = ix.query(q, zero_to_one.new(), tokenizer, [1.0] * F)[:5]
+        assert len(row) == len(oracle)
+        for a, b in zip(row, oracle):
+            assert a.key == b.key and a.score == pytest.approx(b.score, abs=1e-12)

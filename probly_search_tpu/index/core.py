@@ -502,6 +502,52 @@ class Index:
             for q in queries
         ]
 
+    def query_batch_async(
+        self,
+        queries: Sequence[str],
+        score_calculator: Optional[ScoreCalculator] = None,
+        tokenizer: Tokenizer = whitespace_tokenizer,
+        fields_boost: Optional[Sequence[float]] = None,
+        top_k: Optional[int] = None,
+    ):
+        """Non-blocking :meth:`query_batch`: plan + dispatch, return a
+        pending-batch handle (``.get()`` for QueryResult rows,
+        ``.get_arrays()`` for the columnar serving surface).  Routes like
+        ``query_batch``: attached mesh -> sharded engine, two-phase scorers
+        -> the z2o programs, one-phase -> the BM25-style window engine.
+        Host-only scorers have no async path (raises ValueError)."""
+        if score_calculator is None:
+            from ..models import bm25 as _bm25
+
+            score_calculator = _bm25.new()
+        k = top_k or self.config.default_top_k
+        device_capable = hasattr(score_calculator, "device_score_lanes") and not getattr(
+            score_calculator, "device_needs_finalize", True
+        )
+        device_two_phase = getattr(score_calculator, "device_two_phase", False)
+        if self._mesh is not None and device_capable:
+            return self.sharded_index().query_batch_async(
+                queries, score_calculator, tokenizer, fields_boost, top_k=k
+            )
+        if self._mesh is not None and device_two_phase:
+            return self.sharded_index().query_batch_z2o(
+                queries, score_calculator, tokenizer, top_k=k
+            )
+        if device_two_phase:
+            from ..ops.z2o_device import z2o_query_batch_async
+
+            return z2o_query_batch_async(
+                self.device_index(), queries, tokenizer, k, scorer=score_calculator
+            )
+        if device_capable:
+            return self.device_index().query_batch_async(
+                queries, score_calculator, tokenizer, fields_boost, top_k=k
+            )
+        raise ValueError(
+            f"{type(score_calculator).__name__} does not implement a device "
+            "scorer protocol; use query_batch (host execution is synchronous)"
+        )
+
     def device_index(self):
         """Device-resident snapshot (cached until the index mutates or the
         snapshot-shaping config changes)."""
@@ -661,6 +707,7 @@ for _name in (
     "vacuum",
     "query",
     "query_batch",
+    "query_batch_async",
     "device_index",
     "sharded_index",
     "expand_term",

@@ -165,3 +165,72 @@ def test_get_arrays_object_keys():
     row0 = [keys[0, j] for j in range(4) if np.isfinite(scores[0, j])]
     assert set(row0) == {"strkey", 7}
     assert all(k is None for k, s in zip(keys[2], scores[2]) if not np.isfinite(s))
+
+
+def test_index_query_batch_async_public_api():
+    """Index.query_batch_async routes every engine and matches the
+    blocking API."""
+    import numpy as np
+
+    from probly_search_tpu import Index, bm25, zero_to_one
+
+    ix = Index(1)
+    ix.add_documents_columnar(
+        list(range(200)), [[f"a{i % 7} b{i % 3} c" for i in range(200)]]
+    )
+    queries = ["a3 b1", "c", "zzz"]
+    # BM25 single-chip
+    h = ix.query_batch_async(queries, bm25.new(), top_k=5)
+    scores, slots, keys = h.get_arrays()
+    rows = ix.query_batch(queries, bm25.new(), top_k=5)
+    for qi, row in enumerate(rows):
+        assert int(np.isfinite(scores[qi]).sum()) == len(row)
+        for j, r in enumerate(row):
+            assert keys[qi, j] == r.key
+    # zero-to-one single-chip
+    hz = ix.query_batch_async(queries, zero_to_one.new(), top_k=5)
+    zrows = ix.query_batch(queries, zero_to_one.new(), top_k=5)
+    got = hz.get()
+    for a_row, b_row in zip(got, zrows):
+        assert [r.key for r in a_row] == [r.key for r in b_row]
+    # default scorer is BM25
+    assert len(ix.query_batch_async(["c"]).get()) == 1
+    # host-only scorer has no async path
+    from probly_search_tpu.models.base import BaseScoreCalculator
+
+    class HostOnly(BaseScoreCalculator):
+        def score(self, *a, **kw):
+            return 1.0
+
+    try:
+        ix.query_batch_async(["c"], HostOnly())
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_index_query_batch_async_sharded(monkeypatch):
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 virtual devices")
+    from probly_search_tpu import Index, bm25, make_mesh, zero_to_one
+
+    ix = Index(1)
+    ix.add_documents_columnar(
+        list(range(160)), [[f"m{i % 5} shared" for i in range(160)]]
+    )
+    ix.attach_mesh(make_mesh(data=1, docs=8))
+    h = ix.query_batch_async(["m2 shared"], bm25.new(), top_k=5)
+    rows = h.get()
+    want = ix.query("m2 shared", bm25.new(), top_k=5)
+    full = {r.key: r.score for r in ix.query("m2 shared", bm25.new())}
+    assert len(rows[0]) == len(want)
+    for a, b in zip(rows[0], want):  # same score profile; ties may differ
+        assert abs(a.score - b.score) < 1e-5 * max(1.0, abs(b.score))
+    for a in rows[0]:
+        assert abs(a.score - full[a.key]) < 1e-5 * max(1.0, abs(full[a.key]))
+    hz = ix.query_batch_async(["m2"], zero_to_one.new(), top_k=5)
+    zwant = ix.query("m2", zero_to_one.new(), top_k=5)
+    assert len(hz.get()[0]) == len(zwant)

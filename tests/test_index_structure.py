@@ -195,3 +195,49 @@ def test_device_snapshot_cache_invalidation():
     index.add_document([field_accessor], tokenizer, 99, Doc(id=99, text="b c"))
     d3 = index.device_index()
     assert d3 is not d2 and d3.version == index.version
+
+
+class TestTermEscapeHelpers:
+    """Unit behaviors of the NUL-safe fixed-width interning helpers
+    (index/segment.py) — the foundation the r2 advisor fix rests on."""
+
+    def test_probe_terms_clean_path_is_vectorized_lossless(self):
+        from probly_search_tpu.index.segment import probe_terms_fixed
+
+        terms = ["a", "abc", "café", "x" * 40]
+        arr, blen = probe_terms_fixed(terms)
+        assert list(arr) == terms
+        assert blen.tolist() == [len(t.encode("utf-8")) for t in terms]
+
+    def test_probe_terms_escaped_path_byte_lengths_are_raw(self):
+        from probly_search_tpu.index.segment import (
+            _unescape_one,
+            probe_terms_fixed,
+        )
+
+        terms = ["a\x00", "a", "b\x01c", "a\x00\x00"]
+        arr, blen = probe_terms_fixed(terms)
+        # byte lengths always describe the RAW terms
+        assert blen.tolist() == [len(t.encode("utf-8")) for t in terms]
+        # escape is injective + reversible through the <U conversion
+        back = [_unescape_one(str(t)) for t in arr]
+        assert back == terms
+        assert len(set(map(str, arr))) == len(terms)
+
+    def test_prefix_range_survives_escaping(self):
+        import numpy as np
+
+        from probly_search_tpu.index.segment import escape_terms_fixed
+
+        # Table with NUL-bearing terms; prefix probes must still carve the
+        # right [lo, hi) window after escaping.
+        raw = sorted(["a", "a\x00", "a\x00b", "ab", "b", "a\x01"])
+        table = np.sort(escape_terms_fixed(raw))
+        lo = np.searchsorted(table, escape_terms_fixed(["a"])[0])
+        hi = np.searchsorted(table, "a" + "\U0010FFFF")
+        got = sorted(str(t) for t in table[lo:hi])
+        # every raw term starting with "a" is inside the window
+        from probly_search_tpu.index.segment import _escape_one
+
+        want = sorted(_escape_one(t) for t in raw if t.startswith("a"))
+        assert got == want

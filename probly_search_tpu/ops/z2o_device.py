@@ -26,7 +26,9 @@ Device formulation (one XLA program per shape class):
     consumption loop reduces exactly to "accept the best-scoring entry
     per (doc, field, qterm)" — one stable sort + segmented reduces, the
     same data-parallel shape as the BM25 merge.  Measured 11.7x the
-    lockstep program at the 50k-doc bench (PERFORMANCE.md r4).
+    lockstep program at the 50k-doc bench (PERFORMANCE.md r4).  Fields
+    ride as sort VALUES (one masked-contribution operand per field over
+    POSTING lanes), not as extra lanes — see its docstring.
   - ``z2o_step`` (the exact general program) for shared-node queries
     (duplicate query terms / overlapping prefix expansions).
 
@@ -237,6 +239,7 @@ def z2o_fast_step(
     rec,
     jobs_flat,
     qlen,
+    fused_ok: bool = True,
 ):
     """Fast zero-to-one program for queries with NO shared expansion nodes.
 
@@ -253,9 +256,17 @@ def z2o_fast_step(
     at serving widths (PERFORMANCE.md).  Routing is decided at plan time
     (``plan_batch_z2o`` returns per-query ``shared`` flags).
 
+    FIELDS RIDE AS VALUES, NOT LANES: the entry score ``s = 1 -
+    |len(exp) - len(term)| / len(exp)`` (zero_to_one.rs:57-58) does not
+    depend on the field, so the best-entry choice per (doc, field, qterm)
+    is "first lane with tf_field > 0" in (s desc, enumeration) order — one
+    sort of [B, L] lanes keyed by (doc << 4 | qterm, s desc) carrying one
+    masked-contribution operand PER FIELD, then a per-field first-valid
+    segmented scan.  Halves the lane count at F=2 vs the previous
+    [B, F*L] entry expansion, and lifts the F <= 8 / doc < 2^24 packing
+    cliffs (key needs only doc << 4, so doc < 2^27 like BM25).
+
     Same 4-word job layout as ``z2o_step`` (word 2, the node id, unused).
-    Requires doc slots < 2^24 (checked by the caller): the sort key packs
-    ``doc << 7 | field << 4 | qterm`` into int32.
     """
     F = num_fields
     C = chunk
@@ -295,6 +306,40 @@ def z2o_fast_step(
     c_qterm = take(jqterm)
     c_score = take(jscore)
 
+    # ---- fused VMEM-resident kernel (TPU; ops/pallas_z2o.py) ------------ #
+    # Fast-mode job tables carry the per-query dense score RANK in the
+    # spare word 2 (packed by z2o_query_batch_async) — the comparator
+    # network's stable-order substitute for lax.sort's stability.
+    from ..index import device as _dev
+    from .pallas_z2o import FUSED_Z2O_MAX_FIELDS, FUSED_Z2O_MAX_LANES
+
+    if (
+        fused_ok  # caller asserts doc slots < 2^26 (the kernel's key packs
+        # doc << 5 | alive << 4 | qterm)
+        and _dev._FUSED_MODE != "off"
+        and (L & (L - 1)) == 0
+        and (C & (C - 1)) == 0
+        and L <= FUSED_Z2O_MAX_LANES
+        and 1 <= F <= FUSED_Z2O_MAX_FIELDS
+        and (_dev._FUSED_MODE == "interpret" or jax.default_backend() != "cpu")
+    ):
+        from .pallas_z2o import fused_z2o_topk
+
+        return fused_z2o_topk(
+            rec,
+            c_start,
+            c_skip,
+            c_len,
+            c_qterm,
+            c_score,
+            take(jobs[..., 2]),
+            qlen,
+            chunk=C,
+            k=k,
+            num_fields=F,
+            interpret=(_dev._FUSED_MODE == "interpret"),
+        )
+
     R = rec.shape[0]
 
     def one(s):
@@ -311,52 +356,57 @@ def z2o_fast_step(
         (pos >= c_skip[..., None]) & (pos < (c_skip + c_len)[..., None]) & (alive > 0)
     )
 
-    # --- entries: one lane per (posting, field) with tf > 0 --------------- #
-    def fexp(a):  # [B, NC, C] -> [B, F, L]
-        return jnp.broadcast_to(a[:, None], (B, F, NC, C)).reshape(B, F, L)
-
-    tf_e = jnp.moveaxis(tf, 2, 1).reshape(B, F, L)
-    flen_e = jnp.moveaxis(flen, 2, 1).reshape(B, F, L)
-    doc_e = fexp(doc)
-    mask = fexp(live) & (tf_e > 0)
-    fidx = jax.lax.broadcasted_iota(jnp.int32, (B, F, L), dimension=1)
-    s_e = fexp(jnp.broadcast_to(c_score[..., None], (B, NC, C)))
-    q_e = fexp(jnp.broadcast_to(c_qterm[..., None], (B, NC, C)))
+    # --- per-field masked contributions on the POSTING lanes -------------- #
+    # One lane per posting (not per (posting, field)): the entry score s is
+    # field-independent, so field f's accepted entry for a (doc, qterm)
+    # group is the FIRST lane with tf_f > 0 in (s desc, enumeration) order.
+    # contrib_f = min(s/tf_f, 1) * tf_f / max(flen_f, qlen)
+    # (zero_to_one.rs:118-120); -1 marks "no entry for this field".
+    s_l = jnp.broadcast_to(c_score[..., None], (B, NC, C))  # [B, NC, C]
+    live_f = live[:, :, None, :] & (tf > 0)  # [B, NC, F, C]
     contrib = (
-        jnp.minimum(s_e / tf_e, 1.0) * tf_e / jnp.maximum(flen_e, qlen[:, None, None])
+        jnp.minimum(s_l[:, :, None, :] / tf, 1.0)
+        * tf
+        / jnp.maximum(flen, qlen[:, None, None, None])
     )
-    contrib = jnp.where(mask, contrib, 0.0)
+    contrib = jnp.where(live_f, contrib, -1.0)
 
-    # Sort key: (doc, field, qterm) packed; stable ties resolve to the
-    # earliest-enumerated lane = the oracle's enumeration order (query term
-    # asc is in the key; expansion lexicographic asc is the job order).
-    k1 = jnp.where(
-        mask, (doc_e << (_QT_BITS + 3)) | (fidx << _QT_BITS) | q_e, _I32_MAX
-    )
-    FL = F * L
-    k1s, _negs, contribs = jax.lax.sort(
-        (k1.reshape(B, FL), (-s_e).reshape(B, FL), contrib.reshape(B, FL)),
-        dimension=1,
-        num_keys=2,
-    )
+    # Sort lanes by ((doc << 4 | qterm), s desc); lax.sort is stable, so
+    # ties resolve to the earliest-enumerated lane = the oracle's
+    # enumeration order (query term asc is in the key; expansion
+    # lexicographic asc is the job order).  doc < 2^27 (the same packed
+    # int32 capacity as the BM25 merge key).
+    k1 = jnp.where(live, (doc << _QT_BITS) | c_qterm[..., None], _I32_MAX)
+    ops = [k1.reshape(B, L), (-s_l).reshape(B, L)] + [
+        contrib[:, :, f, :].reshape(B, L) for f in range(F)
+    ]
+    sorted_ops = jax.lax.sort(tuple(ops), dimension=1, num_keys=2)
+    k1s = sorted_ops[0]
+    contribs = sorted_ops[2:]
     valid = k1s != _I32_MAX
 
-    # Accepted = first lane of each (doc, field, qterm) group.
+    # Per field: first valid contribution in each (doc, qterm) group
+    # ("first non-negative" is an associative combiner), then the group
+    # tail carries the accepted contribution; per-doc pool sum per field;
+    # doc score = max over fields (fields with no entries contribute 0,
+    # which never beats a real pool sum — every candidate doc has one).
     head1 = k1s != _shift_right(k1s, -1)
-    sel = jnp.where(head1 & valid, contribs, 0.0)
-
-    # Pool sum per (doc, field) segment; doc score = max over fields
-    # (always >= 0: the provisional score from score(), zero_to_one.rs:81).
-    segk = k1s >> _QT_BITS
-    head2 = segk != _shift_right(segk, -1)
-    seg_sum = segmented_scan(jnp.add, sel, head2)
-    tail2 = segk != _shift_left(segk, -1)
-    dock = jnp.where(valid, k1s >> (_QT_BITS + 3), _I32_MAX)
-    field_val = jnp.where(tail2 & valid, jnp.maximum(seg_sum, 0.0), -jnp.inf)
+    tail1 = k1s != _shift_left(k1s, -1)
+    dock = jnp.where(valid, k1s >> _QT_BITS, _I32_MAX)
     head_d = (dock != _shift_right(dock, -1)) & valid
-    doc_max = segmented_scan(jnp.maximum, field_val, head_d)
     tail_d = dock != _shift_left(dock, -1)
-    final = jnp.where(tail_d & valid, doc_max, -jnp.inf)
+
+    def first_valid(a, b):
+        return jnp.where(a >= 0.0, a, b)
+
+    doc_best = None
+    for cf in contribs:
+        first = segmented_scan(first_valid, cf, head1)
+        sel = jnp.where(tail1 & (first >= 0.0), first, 0.0)
+        pool = segmented_scan(jnp.add, sel, head_d)
+        doc_best = pool if doc_best is None else jnp.maximum(doc_best, pool)
+
+    final = jnp.where(tail_d & valid, jnp.maximum(doc_best, 0.0), -jnp.inf)
     top_scores, top_lanes = jax.lax.top_k(final, k)
     top_docs = jnp.take_along_axis(dock, top_lanes, axis=1)
     top_docs = jnp.where(jnp.isfinite(top_scores), top_docs, -1)
@@ -536,7 +586,8 @@ _Z2O_STEP_CACHE = {}
 
 
 def _z2o_window_step_impl(
-    rec, words_flat, qlen_flat, *, chunk, k, num_fields, class_specs
+    rec, words_flat, qlen_flat, *, chunk, k, num_fields, class_specs,
+    fused_ok=True,
 ):
     """Every z2o shape class of a batch in ONE device program.
 
@@ -558,16 +609,27 @@ def _z2o_window_step_impl(
         ql = qlen_flat[qoff : qoff + b_pad]
         qoff += b_pad
         kk = min(k, nc * chunk * num_fields)
-        step_fn = z2o_fast_step if fast else z2o_step
-        s, d = step_fn(
-            chunk=chunk,
-            k=kk,
-            num_fields=num_fields,
-            num_chunks=nc,
-            rec=rec,
-            jobs_flat=jobs,
-            qlen=ql,
-        )
+        if fast:
+            s, d = z2o_fast_step(
+                chunk=chunk,
+                k=kk,
+                num_fields=num_fields,
+                num_chunks=nc,
+                rec=rec,
+                jobs_flat=jobs,
+                qlen=ql,
+                fused_ok=fused_ok,
+            )
+        else:
+            s, d = z2o_step(
+                chunk=chunk,
+                k=kk,
+                num_fields=num_fields,
+                num_chunks=nc,
+                rec=rec,
+                jobs_flat=jobs,
+                qlen=ql,
+            )
         s = s[:b_out]
         d = d[:b_out]
         if kk < k:
@@ -578,13 +640,19 @@ def _z2o_window_step_impl(
 
 
 def _get_z2o_window_step():
-    fn = _Z2O_STEP_CACHE.get("window")
+    from ..index import device as _dev
+
+    # _FUSED_MODE is read at trace time inside z2o_fast_step — distinct
+    # modes need distinct jit wrappers (tests force "interpret").
+    fn = _Z2O_STEP_CACHE.get(("window", _dev._FUSED_MODE))
     if fn is None:
         fn = jax.jit(
             _z2o_window_step_impl,
-            static_argnames=("chunk", "k", "num_fields", "class_specs"),
+            static_argnames=(
+                "chunk", "k", "num_fields", "class_specs", "fused_ok",
+            ),
         )
-        _Z2O_STEP_CACHE["window"] = fn
+        _Z2O_STEP_CACHE[("window", _dev._FUSED_MODE)] = fn
     return fn
 
 
@@ -609,16 +677,6 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
     B = len(queries)
     k = top_k or dix.config.default_top_k
     host_rows = {}
-    if dix.num_fields > 8:
-        # Both z2o sort keys pack the field index into 3 bits; wider
-        # schemas run the bit-exact vectorized host lockstep.
-        rows = {
-            qi: _z2o.ZeroToOne.vectorized_query(
-                dix._index, queries[qi], tokenizer, top_k=k
-            )
-            for qi in range(B)
-        }
-        return PendingBatch(dix, B, [], host_rows=rows, k=k)
     with metrics.timer("z2o/plan"):
         jquery, words, qlen, nchunks, njobs, fallback, shared = plan_batch_z2o(
             dix, queries, tokenizer
@@ -647,16 +705,22 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
     F = max(dix.num_fields, 1)
     nc_bucket = _bucket_vec(nchunks, dix.NC_BUCKETS, 4)
     # Routing: queries with no shared expansion nodes take the loop-free
-    # fast program (z2o_fast_step; its packed sort key needs doc slots
-    # < 2^24); shared-node queries need the exact lockstep program, whose
-    # sort + scan pipeline compiles pathologically on the remote compiler
-    # past ~16k entry lanes (>25 min at 32k) — bigger shared-node queries
-    # go to the vectorized host lockstep (models/zero_to_one.py).
-    fast_ok = dix.num_slots < (1 << 24)
+    # fast program (z2o_fast_step; posting lanes only — fields ride as
+    # sort VALUES, so any F works and doc slots just need the same < 2^27
+    # packed-key capacity as BM25).  Shared-node queries need the exact
+    # lockstep program, which packs field into 3 key bits (F <= 8), and
+    # whose sort + scan pipeline compiles pathologically on the remote
+    # compiler past ~16k entry lanes (>25 min at 32k) — bigger or wider
+    # shared-node queries go to the vectorized host lockstep
+    # (models/zero_to_one.py).
+    fast_ok = dix.num_slots < (1 << 27)
     fastq = (~shared) & fast_ok if shared is not None else np.zeros(B, bool)
-    lanes = nc_bucket * C * F
+    lanes = np.where(fastq, nc_bucket * C, nc_bucket * C * F)
     max_fl = 16384
-    huge = (~fastq & (lanes > max_fl)) | (fastq & (lanes > dix.LANES_PER_DISPATCH))
+    huge = (
+        (~fastq & ((lanes > max_fl) | (F > 8)))
+        | (fastq & (lanes > dix.LANES_PER_DISPATCH))
+    )
     if huge.any():
         metrics.inc("z2o_host_vectorized_queries", int(huge.sum()))
         for qi in np.flatnonzero(huge & (njobs > 0)):
@@ -664,6 +728,23 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
                 dix._index, queries[int(qi)], tokenizer, top_k=k
             )
         nc_bucket = np.where(huge, -1, nc_bucket)
+    # Per-query dense score rank (descending, ties equal — computed on the
+    # same f32 bits the oracle compares): fast-mode job tables carry it in
+    # the spare word 2, where the fused kernel packs it into the secondary
+    # sort key (ops/pallas_z2o.py module docstring).
+    srank = None
+    if fastq.any() and words is not None and len(words):
+        sbits = words[:, 3].view(np.float32).astype(np.float64)
+        o = np.lexsort((-sbits, jquery))
+        jq_o, s_o = jquery[o], sbits[o]
+        new = np.ones(len(o), bool)
+        new[1:] = (jq_o[1:] != jq_o[:-1]) | (s_o[1:] != s_o[:-1])
+        grp = np.cumsum(new) - 1
+        qnew = np.ones(len(o), bool)
+        qnew[1:] = jq_o[1:] != jq_o[:-1]
+        qfirst = np.maximum.accumulate(np.where(qnew, grp, -1))
+        srank = np.empty(len(o), np.int64)
+        srank[o] = grp - qfirst
     # Pack every class's job table + qlen vector into one flat buffer and
     # run the batch as ONE device program with one packed result fetch.
     _t_pack = metrics.timer("z2o/pack"); _t_pack.__enter__()
@@ -680,7 +761,8 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
             if len(members) == 0:
                 continue
             nj = _bucket(int(njobs[members].max()), dix.NJ_BUCKETS, 4)
-            b_cap = max(8, int(dix.LANES_PER_DISPATCH // (nc * C * F)))
+            lane_f = 1 if fast_mode else F  # fast lanes carry no field dim
+            b_cap = max(8, int(dix.LANES_PER_DISPATCH // (nc * C * lane_f)))
             for s in range(0, len(members), b_cap):
                 idxs = members[s : s + b_cap]
                 Bc = len(idxs)
@@ -691,7 +773,11 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
                 jq = jquery[sel]
                 pos = _segment_arange(np.bincount(jq, minlength=B)[idxs])
                 r = np.searchsorted(idxs, jq)
-                jobs_flat[r, pos] = words[sel]
+                wsel = words[sel]
+                if fast_mode and srank is not None:
+                    wsel = wsel.copy()
+                    wsel[:, 2] = srank[sel]  # node id unused on fast path
+                jobs_flat[r, pos] = wsel
                 qlen_pad = np.ones(B_pad, np.float32)
                 qlen_pad[:Bc] = qlen[idxs]
                 word_parts.append(jobs_flat.reshape(-1))
@@ -712,6 +798,7 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
             k=k,
             num_fields=dix.num_fields,
             class_specs=tuple(class_specs),
+            fused_ok=dix.num_slots < (1 << 26),
         )
     return PendingBatch(
         dix, B, [], packed=packed, layout=layout, host_rows=host_rows, k=k

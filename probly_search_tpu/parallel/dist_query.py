@@ -387,10 +387,11 @@ class ShardedDeviceIndex:
 
         tok_lists = [list(tokenizer(q)) for q in queries]
         qlen = np.array([len(t) for t in tok_lists], dtype=np.float32)
-        if self.local_slots >= (1 << 24) or self.num_fields > 8:
-            # The fast z2o sort key packs local_doc << 7 | field << 4 into
-            # int32; bigger shards or wider schemas route everything to the
-            # vectorized host lockstep.
+        if self.local_slots >= (1 << 27):
+            # The fast z2o sort key packs local_doc << 4 | qterm into int32
+            # (fields ride as sort values, so any F works — ops/z2o_device
+            # z2o_fast_step); only shards beyond the same 2^27 capacity as
+            # the BM25 merge key route to the vectorized host lockstep.
             fallback.extend(range(B))
             return None, None, qlen, None, None, fallback
         filt = [[t for t in toks if t] for toks in tok_lists]
@@ -463,6 +464,20 @@ class ShardedDeviceIndex:
         words[:, :, 0] = starts_all
         words[:, :, 1] = lens_all | meta1[None, :]
         words[:, :, 3] = score.view(np.int32)[None, :]
+        # Word 2: per-query dense score rank (descending, ties equal) — the
+        # fused z2o kernel's stable-order tiebreak (ops/pallas_z2o.py).
+        s64 = score.astype(np.float64)
+        o = np.lexsort((-s64, jquery))
+        jq_o, s_o = jquery[o], s64[o]
+        new = np.ones(len(o), bool)
+        new[1:] = (jq_o[1:] != jq_o[:-1]) | (s_o[1:] != s_o[:-1])
+        grp = np.cumsum(new) - 1
+        qnew = np.ones(len(o), bool)
+        qnew[1:] = jq_o[1:] != jq_o[:-1]
+        qfirst = np.maximum.accumulate(np.where(qnew, grp, -1))
+        srank = np.empty(len(o), np.int64)
+        srank[o] = grp - qfirst
+        words[:, :, 2] = srank[None, :]
 
         CP = C - 128
         chunks_all = (lens_all + CP - 1) // CP
@@ -474,9 +489,10 @@ class ShardedDeviceIndex:
             np.maximum(max_chunks, nch.astype(np.int64), out=max_chunks)
         from ..index.device import DeviceIndex
 
-        F = max(self.num_fields, 1)
+        # Fast-program lanes carry no field dimension (fields are sort
+        # values), so the budget is in posting chunks alone.
         over = np.flatnonzero(
-            max_chunks * F > DeviceIndex.LANES_PER_DISPATCH // C
+            max_chunks > DeviceIndex.LANES_PER_DISPATCH // C
         )
         if len(over):
             fallback.extend(int(q) for q in over)
@@ -524,6 +540,7 @@ class ShardedDeviceIndex:
                     rec=rec_l,
                     jobs_flat=jobs_l,
                     qlen=ql_c,
+                    fused_ok=self.local_slots < (1 << 26),
                 )
                 if kk < k:
                     s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)

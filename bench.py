@@ -72,13 +72,14 @@ def main():
 
     from probly_search_tpu import IndexConfig
 
-    # Serving mode: compact int16 result format (f16 scores + split slots)
-    # — 25% fewer fetched bytes through the drain, the serving pace-setter;
-    # won every interleaved A/B pair vs f32 (median 144k vs 131k QPS, r4).
-    # Parity policy: rankings are computed on device in f32 identically in
-    # both modes; only the REPORTED score is f16-quantized (~5e-4 rel).
-    # The parity/recall suites and the default API keep f32 results.
-    ix = Index(1, config=IndexConfig(compact_results=True))
+    # Serving mode: slots-only int8 result format — 30 B fetched per query
+    # vs 60 (compact int16) / 80 (f32).  The drain fetch is the serving
+    # pace-setter (PERFORMANCE.md: ~30-40 ms fixed + ~65 us/KB through the
+    # tunnel), so drained bytes set the QPS ceiling.  Parity policy:
+    # rankings are computed on device in f32 identically in every mode;
+    # slots mode drops only the score REPORT (the recall check below uses
+    # ranked keys).  The parity suites and the default API keep f32.
+    ix = Index(1, config=IndexConfig(result_format="slots"))
     ix.add_documents_columnar(list(range(n_docs)), [texts])
     t2 = time.time()
     log(f"bulk index build: {t2 - t1:.1f}s ({n_docs / (t2 - t1):.0f} docs/s)")
@@ -93,7 +94,7 @@ def main():
     # Warmup pass: compiles every window composition this workload hits,
     # then one pipelined pre-pass so queues/caches settle before timing.
     for w in windows:
-        dix.query_batch(w, scorer, top_k=top_k)
+        dix.query_batch_async(w, scorer, top_k=top_k).get_arrays()
     for w in windows:
         dix.query_batch_async(w, scorer, top_k=top_k).get_arrays()
     t4 = time.time()
@@ -138,7 +139,8 @@ def main():
         log(f"timed section {s}: {sections[-1]:.0f} QPS")
     qps = sorted(sections)[2]  # median of 5 (tunnel swings +-20%; VERDICT r1)
     scores_out, slots_out, keys_out = results_box[-1]
-    assert scores_out.shape == (window, top_k) and keys_out.shape == (window, top_k)
+    assert slots_out.shape == (window, top_k) and keys_out.shape == (window, top_k)
+    assert scores_out is None  # slots-only serving mode carries no scores
     assert (slots_out[0] >= 0).any()
     lat_ms = sorted(lat_ms)
     p50 = lat_ms[len(lat_ms) // 2]
@@ -154,14 +156,33 @@ def main():
             f"total={h['count'] * h['mean_us'] / 1e3:8.1f}ms"
         )
 
-    # Recall vs the exact f64 oracle on a 256-query sample.
+    def phase_ms(name):
+        h = snap["histograms"].get(name)
+        return round(h["mean_us"] / 1e3, 2) if h else None
+
+    # Weather-invariant companions to the QPS sample (VERDICT r2 weak #5):
+    # per-window phase means, drained bytes, and a synchronous window time
+    # (plan+pack+device+fetch with no pipeline) so the recorded number can
+    # be read against tunnel conditions.
+    sync_ms = []
+    for _ in range(3):
+        t_s = time.perf_counter()
+        dix.query_batch_async(windows[0], scorer, top_k=top_k).get_arrays()
+        sync_ms.append(1e3 * (time.perf_counter() - t_s))
+    sync_window_ms = sorted(sync_ms)[1]
+    log(f"sync window (no pipeline): {sync_window_ms:.0f}ms {sync_ms}")
+
+    # Recall vs the exact f64 oracle on a 256-query sample (ranked keys
+    # from the slots-only drain — the same surface the timed loop serves).
     sample = queries[:256]
-    rows = dix.query_batch(sample, scorer, top_k=top_k)
+    _s, s_slots, s_keys = dix.query_batch_async(
+        sample, scorer, top_k=top_k
+    ).get_arrays()
     hits = total = 0
-    for q, row in zip(sample, rows):
+    for qi, q in enumerate(sample):
         oracle = ix.query(q, bm25.new(), whitespace_tokenizer, [1.0])[:top_k]
         o_keys = {r.key for r in oracle}
-        d_keys = {r.key for r in row}
+        d_keys = {int(k) for k, sl in zip(s_keys[qi], s_slots[qi]) if sl >= 0}
         hits += len(o_keys & d_keys)
         total += len(o_keys)
     recall = hits / max(total, 1)
@@ -178,8 +199,13 @@ def main():
                 "p99_window_ms": round(p99, 1),
                 "recall_at_10": round(recall, 4),
                 "window_size": window,
-                "result_format": "compact_int16",
+                "result_format": "slots_int8",
                 "qps_sections": [round(s, 1) for s in sections],
+                "drained_bytes_per_query": 3 * top_k,
+                "plan_ms_mean": phase_ms("query/plan"),
+                "pack_ms_mean": phase_ms("query/pack"),
+                "drain_ms_mean": phase_ms("query/drain"),
+                "sync_window_ms": round(sync_window_ms, 1),
             }
         )
     )

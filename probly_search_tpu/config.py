@@ -57,6 +57,35 @@ class IndexConfig:
     # REPORTED scores are f16-quantized (~5e-4 relative), so this is
     # opt-in and off by default to keep the f32 parity surface.
     compact_results: bool = False
+    # Device->host result format for the packed window result; overrides
+    # compact_results when set:
+    #   "f32"     int32[rows, 2, k] — f32 score bits + int32 slots (80 B per
+    #             query at k=10; the default, full parity surface)
+    #   "compact" int16[rows, 3, k] — f16 score bits + slot lo/hi (60 B)
+    #   "slots"   int8[rows, 3, k]  — slot bytes only, NO scores (30 B).
+    #             Rankings are still computed on device in f32; only the
+    #             score REPORT is dropped, so `get_arrays` returns
+    #             scores=None and `.get()` (which builds QueryResult
+    #             objects) is unavailable.  Requires doc slots < 2^23.
+    # The fetch is the serving pace-setter on tunneled devices
+    # (PERFORMANCE.md): fewer drained bytes per query = higher QPS.
+    result_format: str = ""
+
+    def effective_result_format(self) -> str:
+        if self.result_format:
+            return self.result_format
+        return "compact" if self.compact_results else "f32"
+    # Heavy-query result cache: a query whose device plan spans at least
+    # this many posting chunks (~0.9M postings at the default chunk width)
+    # is served from a snapshot-static per-(scorer, job-table, boosts)
+    # top-k cache — the first encounter computes it once through the normal
+    # device path (a full-index prefix scan costs ~460 ms, PERFORMANCE.md);
+    # every repeat is a host lookup.  Exact: the job table IS the query's
+    # device program input, so equal tables give equal results.  0 disables.
+    heavy_cache_min_chunks: int = 1024
+    # Top-k depth stored per cached heavy query (requests with larger k
+    # bypass the cache).
+    heavy_cache_top_k: int = 128
     # Fuse all shape classes of a query window into one jitted dispatch with
     # one packed input buffer and one packed result fetch (single device
     # round trip + single transfer pair per window).  Compiles once per

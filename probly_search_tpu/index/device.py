@@ -307,7 +307,7 @@ def _window_step_impl(
     qterm_bits: int,
     num_fields: int,
     class_specs,
-    compact: bool = False,
+    fmt: str = "f32",
 ):
     """Execute every shape class of a query window in ONE device program.
 
@@ -351,13 +351,23 @@ def _window_step_impl(
         if kk < k:
             s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
             d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=-1)
-        if compact:
+        if fmt == "compact":
             # int16[rows, 3, k]: f16 score bits + slot lo/hi — 25% fewer
             # fetched bytes (ranking already fixed in f32 by top_k above).
             s16 = jax.lax.bitcast_convert_type(s.astype(jnp.float16), jnp.int16)
             lo = (d & 0xFFFF).astype(jnp.int16)
             hi = ((d >> 16) & 0xFFFF).astype(jnp.int16)
             outs.append(jnp.stack([s16, lo, hi], axis=1))
+        elif fmt == "slots":
+            # int8[rows, 3, k]: slot bytes only (lo, mid, hi), no scores —
+            # 3 B per result vs 8 (f32) / 6 (compact).  Ranking is fixed in
+            # f32 by top_k above; the sentinel slot -1 survives as three
+            # 0xFF bytes (sign-extended on decode).  The drain fetch is the
+            # serving pace-setter (PERFORMANCE.md), so bytes = QPS.
+            lo = (d & 0xFF).astype(jnp.int8)
+            mid = ((d >> 8) & 0xFF).astype(jnp.int8)
+            hi = ((d >> 16) & 0xFF).astype(jnp.int8)
+            outs.append(jnp.stack([lo, mid, hi], axis=1))
         else:
             outs.append(
                 jnp.stack([jax.lax.bitcast_convert_type(s, jnp.int32), d], axis=1)
@@ -379,8 +389,10 @@ def _scorer_cache_key(scorer):
 
 
 def _get_step(scorer) -> Any:
-    """Jitted step per scorer configuration (compile cache)."""
-    key = ("single", _scorer_cache_key(scorer))
+    """Jitted step per scorer configuration (compile cache).  _FUSED_MODE
+    is part of the key: it is read at trace time, so mode switches (tests
+    forcing interpret) must map to distinct jit wrappers."""
+    key = ("single", _scorer_cache_key(scorer), _FUSED_MODE)
     fn = _STEP_CACHE.get(key)
     if fn is None:
         from functools import partial
@@ -397,7 +409,7 @@ def _get_step(scorer) -> Any:
 
 def _get_window_step(scorer) -> Any:
     """Jitted whole-window step (one round trip per window)."""
-    key = ("window", _scorer_cache_key(scorer))
+    key = ("window", _scorer_cache_key(scorer), _FUSED_MODE)
     fn = _STEP_CACHE.get(key)
     if fn is None:
         from functools import partial
@@ -405,7 +417,7 @@ def _get_window_step(scorer) -> Any:
         fn = jax.jit(
             partial(_window_step_impl, scorer),
             static_argnames=(
-                "chunk", "k", "qterm_bits", "num_fields", "class_specs", "compact",
+                "chunk", "k", "qterm_bits", "num_fields", "class_specs", "fmt",
             ),
         )
         _STEP_CACHE[key] = fn
@@ -557,11 +569,23 @@ class DeviceIndex:
         # lock serializes pool growth: concurrent query_batch_async callers
         # must not observe a pool whose parallel arrays are mid-update.
         self._plan_pools: Dict[Any, Dict[str, Any]] = {}
+        # Per-(scorer key, tokenizer) pooled QUERY-plan cache: the fully
+        # assembled job rows per query string (see plan_batch).  Planning a
+        # repeated query becomes one dict lookup + CSR gather — measured
+        # ~37 ms/16k-window of tokenize + probe + gather otherwise
+        # (benchmarks/profile_plan.py), on the serving main thread.
+        self._qplan_pools: Dict[Any, Dict[str, Any]] = {}
         self._plan_lock = threading.RLock()
         # Aux record array (per-posting static scoring metadata for
         # term-range jobs), built lazily per scorer on the first
         # expansion-heavy query (_aux_rec).
         self._aux_cache: Dict[Any, Any] = {}
+        # Heavy-query result cache: (scorer key, job-table bytes, boosts)
+        # -> (scores f32[Kc] | None, slots int32[Kc]).  Snapshot-static by
+        # construction (this object is rebuilt on any index mutation); the
+        # job table is the query's entire device-program input, so equal
+        # tables imply equal results (IndexConfig.heavy_cache_min_chunks).
+        self._heavy_cache: Dict[Any, Any] = {}
 
     def _aux_rec(self, scorer):
         """Aux record array int32[4, P + C] for term-range jobs:
@@ -858,18 +882,103 @@ class DeviceIndex:
         vals = np.fromiter((ids[k] for k in keys_raw), dtype=np.int64, count=len(keys_raw))
         pool["sorted_ids"] = vals[order]
 
+    # Query-plan pool caps: beyond these the pool is dropped and restarts
+    # (bounds memory under adversarial all-distinct traffic; steady-state
+    # serving traffic is power-law repeated, so the pool stays warm).
+    _QPLAN_MAX_QUERIES = 1 << 20
+    _QPLAN_MAX_ROWS = 8 << 20
+
     def plan_batch(self, queries: Sequence[str], tokenizer, scorer):
         """Plan a batch into a flat job table (thread-safe).
 
         Per-term plans (expansion ranges, df, scale) are snapshot-static
-        and cached (`_term_plans`); batch planning is tokenize + sorted
-        probes + CSR gathers.  Returns ``(PlannedJobs | None, fallback)``
-        where ``fallback`` lists queries exceeding a device cap (too many
-        terms / expansions); those degrade to the exact host path per
-        query — the host path has no caps, matching the reference.
+        and cached (`_term_plans`); so is the assembled per-QUERY job plan
+        (this method's own pool): a repeated query string costs one dict
+        lookup plus a vectorized CSR gather — tokenize / probe / per-term
+        gather run only for first-seen queries.  Returns
+        ``(PlannedJobs | None, fallback)`` where ``fallback`` lists queries
+        exceeding a device cap (too many terms / expansions); those degrade
+        to the exact host path per query — the host path has no caps,
+        matching the reference.
         """
         with self._plan_lock:
-            return self._plan_batch_impl(queries, tokenizer, scorer)
+            qp = self._qplan_pool(scorer, tokenizer)
+            ids = qp["ids"]
+            B = len(queries)
+            qids = np.fromiter(
+                (ids.get(q, -1) for q in queries), np.int64, count=B
+            )
+            if (qids < 0).any():
+                miss = sorted({queries[i] for i in np.flatnonzero(qids < 0)})
+                self._qplan_insert(qp, miss, tokenizer, scorer)
+                qids = np.fromiter(
+                    (ids[q] for q in queries), np.int64, count=B
+                )
+            # Assemble the batch from the pool (pure gathers).
+            fb_mask = qp["fallback"][qids]
+            fallback = [int(i) for i in np.flatnonzero(fb_mask)]
+            nj = qp["njobs"][qids]
+            total = int(nj.sum())
+            if total == 0:
+                return None, fallback
+            jquery = np.repeat(np.arange(B, dtype=np.int64), nj)
+            rows = np.repeat(qp["off"][qids], nj) + _segment_arange(nj)
+            return PlannedJobs(
+                jquery=jquery,
+                words=qp["words"][rows],
+                nchunks=qp["nchunks"][qids],
+                njobs=nj,
+                has_range=qp["has_range"][qids],
+            ), fallback
+
+    def _qplan_pool(self, scorer, tokenizer):
+        key = (_scorer_cache_key(scorer), tokenizer)
+        qp = self._qplan_pools.get(key)
+        if qp is None or (
+            len(qp["ids"]) > self._QPLAN_MAX_QUERIES
+            or len(qp["words"]) > self._QPLAN_MAX_ROWS
+        ):
+            qp = {
+                "ids": {},  # query string -> dense qid
+                "off": np.zeros(1, dtype=np.int64),
+                "words": np.zeros((0, 3), dtype=np.int32),
+                "nchunks": np.zeros(0, dtype=np.int64),
+                "njobs": np.zeros(0, dtype=np.int64),
+                "has_range": np.zeros(0, dtype=bool),
+                "fallback": np.zeros(0, dtype=bool),
+            }
+            self._qplan_pools[key] = qp
+        return qp
+
+    def _qplan_insert(self, qp, miss: List[str], tokenizer, scorer) -> None:
+        """Plan first-seen queries through the full path and pool the
+        resulting per-query job rows (job rows of query i are contiguous:
+        ``jquery`` is grouped ascending by construction)."""
+        plan, fb = self._plan_batch_impl(miss, tokenizer, scorer)
+        M = len(miss)
+        fb_m = np.zeros(M, dtype=bool)
+        fb_m[list(fb)] = True
+        if plan is None:
+            nj_m = np.zeros(M, dtype=np.int64)
+            words_m = np.zeros((0, 3), dtype=np.int32)
+            nch_m = np.zeros(M, dtype=np.int64)
+            rng_m = np.zeros(M, dtype=bool)
+        else:
+            nj_m = plan.njobs
+            words_m = plan.words
+            nch_m = plan.nchunks
+            rng_m = plan.has_range
+        base = len(qp["off"]) - 1
+        for i, q in enumerate(miss):
+            qp["ids"][q] = base + i
+        qp["off"] = np.concatenate(
+            [qp["off"], qp["off"][-1] + np.cumsum(nj_m)]
+        )
+        qp["words"] = np.concatenate([qp["words"], words_m])
+        qp["nchunks"] = np.concatenate([qp["nchunks"], nch_m])
+        qp["njobs"] = np.concatenate([qp["njobs"], nj_m])
+        qp["has_range"] = np.concatenate([qp["has_range"], rng_m])
+        qp["fallback"] = np.concatenate([qp["fallback"], fb_m])
 
     def _plan_batch_impl(self, queries: Sequence[str], tokenizer, scorer):
         B = len(queries)
@@ -1039,6 +1148,7 @@ class DeviceIndex:
         tokenizer=whitespace_tokenizer,
         fields_boost: Optional[Sequence[float]] = None,
         top_k: Optional[int] = None,
+        _heavy: bool = False,
     ) -> "PendingBatch":
         """Plan, transfer and dispatch a query batch without blocking.
 
@@ -1077,10 +1187,79 @@ class DeviceIndex:
                     )
                     for qi in fallback
                 }
+        fmt = self.config.effective_result_format()
+        if fmt == "slots" and self.num_slots >= (1 << 23):
+            fmt = "compact"  # 3-byte slots cannot address >= 2^23 slots
+
+        # Heavy-query result cache (IndexConfig.heavy_cache_min_chunks):
+        # queries whose plan spans a huge posting range (full-index prefix
+        # scans cost ~460 ms of device sort) are answered from a
+        # snapshot-static cache keyed by the query's job-table bytes — the
+        # exact device-program input.  First encounter computes the row
+        # once (blocking, k = heavy_cache_top_k); repeats are host lookups.
+        array_rows = None
+        cfg = self.config
+        if (
+            plan is not None
+            and not _heavy
+            and cfg.heavy_cache_min_chunks
+            and k <= cfg.heavy_cache_top_k
+        ):
+            heavy = np.flatnonzero(plan.nchunks >= cfg.heavy_cache_min_chunks)
+            if len(heavy):
+                boosts_key = tuple(float(b) for b in fields_boost)
+                skey = _scorer_cache_key(scorer)
+                array_rows = {}
+                for qi in heavy:
+                    qi = int(qi)
+                    rows_q = plan.words[plan.jquery == qi]
+                    ck = (skey, rows_q.tobytes(), boosts_key)
+                    hit = self._heavy_cache.get(ck)
+                    if hit is None or (hit[0] is None and fmt != "slots"):
+                        metrics.inc("heavy_cache_misses", 1)
+                        sub = self.query_batch_async(
+                            [queries[qi]], scorer, tokenizer, fields_boost,
+                            top_k=cfg.heavy_cache_top_k, _heavy=True,
+                        )
+                        s_row, sl_row, _ = sub.get_arrays(want_keys=False)
+                        hit = (
+                            s_row[0] if s_row is not None else None,
+                            sl_row[0],
+                        )
+                        if len(self._heavy_cache) > 4096:
+                            self._heavy_cache.clear()
+                        self._heavy_cache[ck] = hit
+                    else:
+                        metrics.inc("heavy_cache_hits", 1)
+                    array_rows[qi] = hit
+                hit_list = np.fromiter(array_rows, np.int64, len(array_rows))
+                keep = ~np.isin(plan.jquery, hit_list)
+                jq2 = plan.jquery[keep]
+                nchunks2 = plan.nchunks.copy()
+                nchunks2[hit_list] = 0
+                plan = (
+                    PlannedJobs(
+                        jquery=jq2,
+                        words=plan.words[keep],
+                        nchunks=nchunks2,
+                        njobs=np.bincount(jq2, minlength=len(queries)),
+                        has_range=plan.has_range,
+                    )
+                    if len(jq2)
+                    else None
+                )
         if plan is None:
-            return PendingBatch(self, len(queries), [], host_rows=host_rows, k=k)
+            return PendingBatch(
+                self, len(queries), [], host_rows=host_rows, k=k,
+                array_rows=array_rows, fmt=fmt,
+            )
         with metrics.timer("query/pack"):
             dispatches = self.pack_dispatches(len(queries), plan)
+        if not dispatches:
+            return PendingBatch(
+                self, len(queries), [], host_rows=host_rows, k=k,
+                array_rows=array_rows, fmt=fmt,
+            )
         metrics.inc("dispatches", len(dispatches))
         boost_arr = jnp.asarray(np.asarray(fields_boost, dtype=np.float32))
         dispatches.sort(key=lambda d: (d[2], d[3], d[1].shape[0]))
@@ -1117,7 +1296,6 @@ class DeviceIndex:
                     )
                 )
             step = _get_window_step(scorer)
-            compact = bool(getattr(self.config, "compact_results", False))
             with metrics.timer("query/dispatch"):
                 packed = step(
                     self.rec,
@@ -1130,7 +1308,7 @@ class DeviceIndex:
                     qterm_bits=self._qterm_bits,
                     num_fields=self.num_fields,
                     class_specs=class_specs,
-                    compact=compact,
+                    fmt=fmt,
                 )
             layout = []
             row = 0
@@ -1139,7 +1317,7 @@ class DeviceIndex:
                 row += b_out
             return PendingBatch(
                 self, len(queries), [], packed=packed, layout=layout,
-                host_rows=host_rows, compact=compact, k=k,
+                host_rows=host_rows, fmt=fmt, k=k, array_rows=array_rows,
             )
         step = _get_step(scorer)
         parts = []
@@ -1158,7 +1336,10 @@ class DeviceIndex:
                 use_ranges=rng,
             )
             parts.append((idxs, top_scores, top_docs))
-        return PendingBatch(self, len(queries), parts, host_rows=host_rows, k=k)
+        return PendingBatch(
+            self, len(queries), parts, host_rows=host_rows, k=k,
+            array_rows=array_rows,
+        )
 
     def to_results(self, top_scores: np.ndarray, top_docs: np.ndarray):
         out: List[List[QueryResult]] = []
@@ -1192,29 +1373,39 @@ class PendingBatch:
 
     def __init__(
         self, dix: "DeviceIndex", n: int, parts, packed=None, layout=None,
-        host_rows=None, compact=False, k=None,
+        host_rows=None, fmt="f32", k=None, array_rows=None,
     ) -> None:
         self._dix = dix
         self._n = n
         self._parts = parts
-        self._packed = packed  # int32[rows, 2, k] (or int16[rows, 3, k] compact)
+        self._packed = packed  # int32[rows, 2, k] / int16[rows, 3, k]
+        # (compact) / int8[rows, 3, k] (slots)
         self._layout = layout  # [(query_indices, row_offset), ...]
         self._host_rows = host_rows  # {query_index: results} from fallback
-        self._compact = compact
+        self._fmt = fmt
+        # {query_index: (scores | None, slots)} from the heavy-query cache
+        self._array_rows = array_rows
         # Submitted top_k: sizes the result arrays when every query fell
         # back to the host (no packed result to take k from).
         self._k = k
 
     def _unpack(self):
-        """Single D2H fetch + decode -> (scores f32[rows, k], slots
+        """Single D2H fetch + decode -> (scores f32[rows, k] | None, slots
         int32[rows, k]).  Compact windows decode f16 score bits and the
-        lo/hi slot halves (IndexConfig.compact_results)."""
+        lo/hi slot halves; slots windows decode the three slot bytes and
+        carry NO scores (IndexConfig.result_format)."""
         packed = np.asarray(self._packed)
-        if self._compact:
+        if self._fmt == "compact":
             scores = packed[:, 0, :].view(np.float16).astype(np.float32)
             lo = packed[:, 1, :].view(np.uint16).astype(np.uint32)
             hi = packed[:, 2, :].view(np.uint16).astype(np.uint32)
             slots = (lo | (hi << 16)).view(np.int32)
+        elif self._fmt == "slots":
+            lo = packed[:, 0, :].astype(np.int32) & 0xFF
+            mid = packed[:, 1, :].astype(np.int32) & 0xFF
+            hi = packed[:, 2, :].astype(np.int32)  # sign-extends bit 23
+            slots = lo | (mid << 8) | (hi << 16)
+            scores = None
         else:
             scores = packed[:, 0, :].view(np.float32)
             slots = packed[:, 1, :]
@@ -1223,6 +1414,14 @@ class PendingBatch:
     def get(self) -> List[List[QueryResult]]:
         from ..utils.metrics import metrics
 
+        if self._fmt == "slots" and (
+            self._packed is not None or self._array_rows
+        ):
+            raise ValueError(
+                "result_format='slots' windows carry no scores; use "
+                "get_arrays() (ranked slots/keys) or a score-carrying "
+                "result_format for QueryResult rows"
+            )
         results: List[List[QueryResult]] = [[] for _ in range(self._n)]
         with metrics.timer("query/drain"):
             self._drain(results)
@@ -1231,9 +1430,12 @@ class PendingBatch:
     def get_arrays(self, want_keys: bool = True):
         """Raw columnar results — the serving-engine surface.
 
-        Returns ``(scores f32[n, k], slots int32[n, k], keys[n, k])`` in
-        query order.  VALIDITY MASK: ``np.isfinite(scores)`` — invalid
-        entries carry score ``-inf``; their slot/key content is undefined.
+        Returns ``(scores f32[n, k] | None, slots int32[n, k], keys[n, k])``
+        in query order.  VALIDITY MASK: ``slots >= 0`` (equivalently
+        ``np.isfinite(scores)`` when scores are present) — invalid entries'
+        key content is undefined.  Under ``result_format="slots"`` the
+        window carries no scores and ``scores`` is ``None`` (rankings are
+        still exact: slot columns are in descending-score order).
         ``keys`` is an int64 array when every document key is a plain int
         (gathered at numpy speed), otherwise an object array with ``None``
         at invalid entries.  This path skips per-result Python object
@@ -1245,34 +1447,61 @@ class PendingBatch:
         from ..utils.metrics import metrics
 
         with metrics.timer("query/drain"):
+            slots_only = self._fmt == "slots"
             if self._packed is None:
                 k = self._parts[0][1].shape[-1] if self._parts else (self._k or 0)
-                scores = np.full((self._n, k), -np.inf, np.float32)
+                scores = (
+                    None
+                    if slots_only and not self._parts
+                    else np.full((self._n, k), -np.inf, np.float32)
+                )
                 slots = np.full((self._n, k), -1, np.int32)
                 for idxs, top_scores, top_docs in self._parts:
                     scores[idxs] = np.asarray(top_scores)[: len(idxs)]
                     slots[idxs] = np.asarray(top_docs)[: len(idxs)]
             else:
                 p_scores, p_slots = self._unpack()  # single D2H fetch
-                k = p_scores.shape[-1]
-                scores = np.full((self._n, k), -np.inf, np.float32)
+                k = p_slots.shape[-1]
+                scores = (
+                    None
+                    if slots_only
+                    else np.full((self._n, k), -np.inf, np.float32)
+                )
                 slots = np.full((self._n, k), -1, np.int32)
                 for idxs, row in self._layout:
-                    scores[idxs] = p_scores[row : row + len(idxs)]
+                    if scores is not None:
+                        scores[idxs] = p_scores[row : row + len(idxs)]
                     slots[idxs] = p_slots[row : row + len(idxs)]
+            if self._array_rows:
+                # Heavy-query cache rows (filled before the key gather so
+                # keys cover them like any other row).  A row cached under
+                # the slots format carries no scores; its entries stay
+                # -inf (validity is the ``slots >= 0`` contract there).
+                for qi, (s_row, sl_row) in self._array_rows.items():
+                    m = min(slots.shape[1], len(sl_row))
+                    slots[qi, :m] = sl_row[:m]
+                    slots[qi, m:] = -1
+                    if scores is not None and s_row is not None:
+                        scores[qi, :m] = s_row[:m]
+                        scores[qi, m:] = -np.inf
             keys = None
             if want_keys:
                 karr = self._dix.key_arr
                 if karr.dtype == object:
                     valid = slots >= 0
                     keys = np.where(valid, karr[np.where(valid, slots, 0)], None)
-                else:  # int64 fast path: invalid entries masked by -inf score
+                else:  # int64 fast path: invalid entries masked by slot -1
                     keys = karr[np.clip(slots, 0, None)]
             if self._host_rows:
+                k2s = self._dix._index._key_to_slot
                 for qi, row in self._host_rows.items():
-                    m = min(len(row), scores.shape[1])
-                    scores[qi, :m] = [r.score for r in row[:m]]
+                    m = min(len(row), slots.shape[1])
+                    if scores is not None:
+                        scores[qi, :m] = [r.score for r in row[:m]]
                     slots[qi, :] = -1
+                    # Host-fallback rows keep the ``slots >= 0`` validity
+                    # contract (the only mask under result_format="slots").
+                    slots[qi, :m] = [k2s.get(r.key, -1) for r in row[:m]]
                     if keys is not None:
                         if keys.dtype == object:
                             keys[qi, :] = None
@@ -1283,6 +1512,12 @@ class PendingBatch:
         if self._host_rows:
             for qi, row in self._host_rows.items():
                 results[qi] = row
+        if self._array_rows:
+            k = self._k or 0
+            for qi, (s_row, sl_row) in self._array_rows.items():
+                results[int(qi)] = self._dix.to_results(
+                    s_row[None, :k], sl_row[None, :k]
+                )[0]
         if self._packed is not None:
             scores, docs = self._unpack()  # single D2H fetch
             for idxs, row in self._layout:

@@ -232,3 +232,50 @@ class TestCompactResults:
         rows_f = hf.get()
         for a_row, b_row in zip(rows_c, rows_f):
             assert [r.key for r in a_row] == [r.key for r in b_row]
+
+
+class TestSlotsResults:
+    """result_format="slots": int8 slot bytes only, no scores (30 B/query
+    at k=10 — the serving drain is byte-bound, PERFORMANCE.md)."""
+
+    def _corpus(self, cfg=None):
+        rng = random.Random(5)
+        vocab = ["".join(rng.choice("abcdef") for _ in range(rng.randint(1, 4)))
+                 for _ in range(60)]
+        texts = [" ".join(rng.choice(vocab) for _ in range(4)) for _ in range(500)]
+        ix = Index(1, config=cfg) if cfg else Index(1)
+        ix.add_documents_columnar(list(range(500)), [texts])
+        return ix, vocab
+
+    def test_slots_match_f32_rankings(self):
+        ix_s, vocab = self._corpus(IndexConfig(result_format="slots"))
+        ix_f, _ = self._corpus()
+        queries = [vocab[0], f"{vocab[1]} {vocab[2]}", "a", "zzz", ""]
+        hs = ix_s.device_index().query_batch_async(queries, bm25.new(), top_k=10)
+        hf = ix_f.device_index().query_batch_async(queries, bm25.new(), top_k=10)
+        ss, sls, ks = hs.get_arrays()
+        sf, slf, kf = hf.get_arrays()
+        assert ss is None  # no scores shipped
+        # identical ranked slots; -1 sentinel decodes through the 3 bytes
+        assert (sls == np.where(np.isfinite(sf), slf, -1)).all()
+        m = sls >= 0
+        assert (ks[m] == kf[m]).all()
+
+    def test_slots_get_raises(self):
+        ix, vocab = self._corpus(IndexConfig(result_format="slots"))
+        h = ix.device_index().query_batch_async([vocab[0]], bm25.new(), top_k=5)
+        with pytest.raises(ValueError, match="slots"):
+            h.get()
+
+    def test_slots_host_fallback_rows_are_valid(self):
+        # An over-cap query (> max_query_terms) falls back to the host; its
+        # row must keep the ``slots >= 0`` validity contract.
+        ix, vocab = self._corpus(IndexConfig(result_format="slots"))
+        big = " ".join(vocab[i % len(vocab)] for i in range(40))
+        h = ix.device_index().query_batch_async([big, vocab[0]], bm25.new(), top_k=10)
+        s, slots, keys = h.get_arrays()
+        assert s is None
+        assert (slots[0] >= 0).any()
+        oracle = ix.query(big, bm25.new(), whitespace_tokenizer, [1.0])[:10]
+        got = [int(k) for k, sl in zip(keys[0], slots[0]) if sl >= 0]
+        assert got == [r.key for r in oracle]

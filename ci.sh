@@ -26,6 +26,14 @@ g.dryrun_multichip(8)
 print("entry points OK")
 EOF
 
+echo "== examples smoke (walkthroughs must not rot; VERDICT r2 weak #6) =="
+for ex in examples/*.py; do
+  echo "-- $ex"
+  PSEARCH_CPU=1 JAX_PLATFORMS=cpu \
+    XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+    python "$ex" > /dev/null
+done
+
 echo "== dryrun self-provisioning (driver contract: 1 ambient device) =="
 JAX_PLATFORMS=cpu python - <<'EOF'
 import jax

@@ -199,7 +199,9 @@ def _query_step_impl(
         and (_FUSED_MODE == "interpret" or jax.default_backend() != "cpu")
     ):
         from ..ops.pallas_query import fused_query_topk
+        from ..utils.metrics import metrics
 
+        metrics.inc("fused_kernel_traces", 1)  # trace-time (host) counter
         scalars = jnp.concatenate([field_avg, fields_boost])[None, :]
         return fused_query_topk(
             scorer,

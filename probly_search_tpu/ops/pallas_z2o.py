@@ -155,7 +155,9 @@ def _z2o_kernel(
     c_qterm_ref,  # VMEM [1, ROWS, NC] int32
     c_score_ref,  # VMEM [1, ROWS, NC] f32 — per-job entry score s
     c_rank_ref,  # VMEM [1, ROWS, NC] int32 — per-query dense score rank
-    qlen_ref,  # VMEM [1, ROWS] f32 — query_terms_len (incl. empties)
+    qlen_ref,  # VMEM [1, 1, ROWS] f32 — query_terms_len (incl. empties)
+    # (3D so the block's trailing two dims are (1, ROWS) = the full array
+    # dims — a (1, ROWS) 2D block fails Mosaic's sublane-divisibility rule)
     rec_ref,  # HBM [R, P + C] int32
     out_s_ref,  # VMEM [1, ROWS, k] f32
     out_d_ref,  # VMEM [1, ROWS, k] int32
@@ -217,7 +219,7 @@ def _z2o_kernel(
     k2s[...] = (rank_l << 14) | pos
 
     s_l = jnp.broadcast_to(c_score[..., None], (ROWS, NC, C))
-    qlen = qlen_ref[0]  # [ROWS]
+    qlen = qlen_ref[0, 0]  # [ROWS]
     for f in range(F):
         tf = g[:, :, 1 + f, :].astype(jnp.float32)
         flen = pltpu.bitcast(g[:, :, 1 + F + f, :], jnp.float32)
@@ -343,7 +345,9 @@ def fused_z2o_topk(
             table(pltpu.VMEM),
             table(pltpu.VMEM),
             table(pltpu.VMEM),
-            pl.BlockSpec((1, rows), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, rows), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -371,7 +375,7 @@ def fused_z2o_topk(
         r3(c_qterm),
         r3(c_score),
         r3(c_rank),
-        qlen.reshape(G, rows),
+        qlen.reshape(G, 1, rows),
         rec,
     )
     return out_s.reshape(B, k), out_d.reshape(B, k)

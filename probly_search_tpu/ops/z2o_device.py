@@ -240,6 +240,7 @@ def z2o_fast_step(
     jobs_flat,
     qlen,
     fused_ok: bool = True,
+    fused_mode: str = None,
 ):
     """Fast zero-to-one program for queries with NO shared expansion nodes.
 
@@ -310,21 +311,30 @@ def z2o_fast_step(
     # Fast-mode job tables carry the per-query dense score RANK in the
     # spare word 2 (packed by z2o_query_batch_async) — the comparator
     # network's stable-order substitute for lax.sort's stability.
+    # ``fused_mode`` MUST arrive as an explicit (static) argument from any
+    # jitted caller: jax.jit caches by wrapped-function identity, so a
+    # global read at trace time leaks one mode's trace into another's
+    # wrapper (measured on hardware: the "off" retry after a Mosaic
+    # lowering failure re-lowered the SAME fused trace and failed again).
     from ..index import device as _dev
     from .pallas_z2o import FUSED_Z2O_MAX_FIELDS, FUSED_Z2O_MAX_LANES
 
+    if fused_mode is None:
+        fused_mode = _dev._FUSED_MODE
     if (
         fused_ok  # caller asserts doc slots < 2^26 (the kernel's key packs
         # doc << 5 | alive << 4 | qterm)
-        and _dev._FUSED_MODE != "off"
+        and fused_mode != "off"
         and (L & (L - 1)) == 0
         and (C & (C - 1)) == 0
         and L <= FUSED_Z2O_MAX_LANES
         and 1 <= F <= FUSED_Z2O_MAX_FIELDS
-        and (_dev._FUSED_MODE == "interpret" or jax.default_backend() != "cpu")
+        and (fused_mode == "interpret" or jax.default_backend() != "cpu")
     ):
+        from ..utils.metrics import metrics
         from .pallas_z2o import fused_z2o_topk
 
+        metrics.inc("fused_z2o_traces", 1)  # trace-time (host) counter
         return fused_z2o_topk(
             rec,
             c_start,
@@ -337,7 +347,7 @@ def z2o_fast_step(
             chunk=C,
             k=k,
             num_fields=F,
-            interpret=(_dev._FUSED_MODE == "interpret"),
+            interpret=(fused_mode == "interpret"),
         )
 
     R = rec.shape[0]
@@ -587,7 +597,7 @@ _Z2O_STEP_CACHE = {}
 
 def _z2o_window_step_impl(
     rec, words_flat, qlen_flat, *, chunk, k, num_fields, class_specs,
-    fused_ok=True,
+    fused_ok=True, fused_mode="auto",
 ):
     """Every z2o shape class of a batch in ONE device program.
 
@@ -619,6 +629,7 @@ def _z2o_window_step_impl(
                 jobs_flat=jobs,
                 qlen=ql,
                 fused_ok=fused_ok,
+                fused_mode=fused_mode,
             )
         else:
             s, d = z2o_step(
@@ -640,19 +651,20 @@ def _z2o_window_step_impl(
 
 
 def _get_z2o_window_step():
-    from ..index import device as _dev
-
-    # _FUSED_MODE is read at trace time inside z2o_fast_step — distinct
-    # modes need distinct jit wrappers (tests force "interpret").
-    fn = _Z2O_STEP_CACHE.get(("window", _dev._FUSED_MODE))
+    # The fused mode rides as the static ``fused_mode`` argument (NOT a
+    # trace-time global): jax.jit caches by wrapped-function identity, so
+    # one shared wrapper with a static mode arg is the only arrangement
+    # that cannot leak one mode's trace into another's call.
+    fn = _Z2O_STEP_CACHE.get("window")
     if fn is None:
         fn = jax.jit(
             _z2o_window_step_impl,
             static_argnames=(
                 "chunk", "k", "num_fields", "class_specs", "fused_ok",
+                "fused_mode",
             ),
         )
-        _Z2O_STEP_CACHE[("window", _dev._FUSED_MODE)] = fn
+        _Z2O_STEP_CACHE["window"] = fn
     return fn
 
 
@@ -670,6 +682,7 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
     window pipelining for free.  Cap-exceeding / shared-node-over-budget
     queries degrade to the vectorized host lockstep.
     """
+    from ..index import device as _dev_mod
     from ..index.device import PendingBatch, _bucket, _bucket_vec, _segment_arange
     from ..models import zero_to_one as _z2o
     from ..utils.metrics import metrics
@@ -799,6 +812,7 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
             num_fields=dix.num_fields,
             class_specs=tuple(class_specs),
             fused_ok=dix.num_slots < (1 << 26),
+            fused_mode=_dev_mod._FUSED_MODE,
         )
     return PendingBatch(
         dix, B, [], packed=packed, layout=layout, host_rows=host_rows, k=k

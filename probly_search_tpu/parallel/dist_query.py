@@ -506,7 +506,11 @@ class ShardedDeviceIndex:
         return jquery, words, qlen, max_chunks, njobs, fallback
 
     def _get_z2o_window_step(self, class_specs, k: int):
-        key = ("z2o", class_specs, k)
+        from ..index import device as _dev
+
+        # _FUSED_MODE is read at trace time inside z2o_fast_step — distinct
+        # modes (tests force "interpret") need distinct jitted programs.
+        key = ("z2o", class_specs, k, _dev._FUSED_MODE)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
@@ -517,6 +521,10 @@ class ShardedDeviceIndex:
         n = self.n_shards
         C = self.CHUNK
         F = self.num_fields
+        # Captured at closure-build time; per_cell is a FRESH function per
+        # cache entry, so each mode gets its own jit trace (jax.jit caches
+        # by wrapped-function identity).
+        fused_mode = _dev._FUSED_MODE
 
         def per_cell(rec_blk, words_blk, qlen_blk):
             rec_l = rec_blk[0]
@@ -541,6 +549,7 @@ class ShardedDeviceIndex:
                     jobs_flat=jobs_l,
                     qlen=ql_c,
                     fused_ok=self.local_slots < (1 << 26),
+                    fused_mode=fused_mode,
                 )
                 if kk < k:
                     s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
@@ -668,10 +677,16 @@ class ShardedDeviceIndex:
     # ------------------------------------------------------------------ #
 
     def _get_window_step(self, scorer, class_specs, k: int):
+        from ..index import device as _dev
+
         key = (
             getattr(scorer, "device_cache_key", lambda: ("id", id(scorer)))(),
             class_specs,
             k,
+            # _FUSED_MODE is read at trace time inside _query_step_impl —
+            # distinct modes (tests force "interpret") need distinct
+            # jitted programs.
+            _dev._FUSED_MODE,
         )
         fn = self._step_cache.get(key)
         if fn is not None:

@@ -340,3 +340,65 @@ def test_sharded_term_range_jobs():
             assert abs(a.score - b.score) < 2e-5 * max(1.0, abs(b.score)), q
         for a in sh:
             assert abs(a.score - full[a.key]) < 2e-5 * max(1.0, abs(full[a.key])), q
+
+
+class TestShardedFusedInterpret:
+    """Pallas-under-shard_map with n_shards > 1 (VERDICT r2 weak #2).
+
+    The fused kernel branch inside ``_query_step_impl`` / ``z2o_fast_step``
+    normally requires a non-CPU backend, so the virtual mesh always took the
+    staged path and the ``check_vma=False`` shard_map fix was protected by
+    zero multi-shard executions.  Forcing ``_FUSED_MODE = "interpret"`` runs
+    the real pallas_call (interpreted) inside the sharded program on the
+    8-device CPU mesh.
+    """
+
+    @pytest.fixture()
+    def fused_interpret(self, monkeypatch):
+        from probly_search_tpu.index import device as dev
+
+        monkeypatch.setattr(dev, "_FUSED_MODE", "interpret")
+
+    def test_sharded_bm25_fused_matches_oracle(self, fused_interpret):
+        from probly_search_tpu.utils.metrics import metrics
+
+        ix, queries = _corpus_index(n=260, seed=13)
+        mesh = make_mesh(data=2, docs=4)
+        sdix = ShardedDeviceIndex(ix, mesh)
+        metrics.reset()
+        rows = sdix.query_batch(queries, bm25.new(), top_k=10)
+        # The fused branch must actually have run (not the staged path):
+        # fused_query_topk bumps this counter once per traced class.
+        assert metrics.snapshot()["counters"].get("fused_kernel_traces", 0) > 0
+        oracle = [ix.query(q, bm25.new(), tokenizer, [1.0]) for q in queries]
+        _assert_rows_match(rows, oracle, 10)
+        for sh, orc in zip(rows, oracle):
+            om = {r.key: r.score for r in orc}
+            for r in sh:
+                np.testing.assert_allclose(r.score, om[r.key], rtol=2e-5, atol=1e-6)
+
+    def test_sharded_z2o_fused_matches_oracle(self, fused_interpret):
+        import random as _r
+
+        from probly_search_tpu import zero_to_one
+        from probly_search_tpu.utils.metrics import metrics
+
+        rng = _r.Random(37)
+        vocab = ["".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 5)))
+                 for _ in range(150)]
+        ix = Index(1)
+        texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+                 for _ in range(240)]
+        ix.add_documents_columnar(list(range(240)), [texts])
+        queries = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3)))
+                   for _ in range(10)] + [vocab[0][:2], ""]
+        mesh = make_mesh(data=2, docs=4)
+        sdix = ShardedDeviceIndex(ix, mesh)
+        metrics.reset()
+        rows = sdix.query_batch_z2o(queries, zero_to_one.new(), top_k=10).get()
+        assert metrics.snapshot()["counters"].get("fused_z2o_traces", 0) > 0
+        for q, row in zip(queries, rows):
+            want = ix.query(q, zero_to_one.new(), tokenizer, [1.0], top_k=10)
+            assert len(row) == len(want), q
+            for a, b in zip(row, want):
+                assert abs(a.score - b.score) < 1e-5 * max(1.0, abs(b.score)), q

@@ -22,7 +22,10 @@ def log(msg):
 
 
 def make_case(B, NC, C, F, k):
-    R = 2 + 2 * F
+    # Mirror the serving rec layout (index/device.py): Mosaic's DMA
+    # row-tiling rule accepts 4 and multiples of 8, rejects 6 and 12
+    # ("Slice shape along dimension 0 must be aligned to tiling (8)").
+    R = 4 if (2 + 2 * F) <= 4 else -(-(2 + 2 * F) // 8) * 8
     # rec: one long posting array with alternating 128-aligned runs.
     P = NC * B * C + 256
     rng = np.random.default_rng(0)
@@ -58,6 +61,7 @@ def main():
         ("tiny F=2", dict(B=8, NC=2, C=1024, F=2, k=10)),
         ("L=4096 F=2", dict(B=8, NC=4, C=1024, F=2, k=10)),
         ("L=8192 F=2", dict(B=8, NC=8, C=1024, F=2, k=10)),
+        ("F=4 (R=12 rec)", dict(B=8, NC=2, C=1024, F=4, k=10)),
         ("serving B=512 L=2048 F=2", dict(B=512, NC=2, C=1024, F=2, k=10)),
     ]
     for name, p in ladder:

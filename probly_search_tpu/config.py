@@ -22,7 +22,11 @@ class IndexConfig:
     # --- delta-segment / LSM policy ---------------------------------------
     # Pending host-side adds are flushed into an immutable delta segment when
     # a query arrives or when the pending buffer exceeds this many documents.
-    pending_flush_docs: int = 8192
+    # The buffer holds raw (key, field values) tuples — flush work is O(batch)
+    # through the native CSR pass, so a large window costs only references;
+    # small windows cost extra segments and routine merges (r5: 8192 -> 12
+    # segments + a full merge per 100k sequential adds).
+    pending_flush_docs: int = 65536
     # When the number of delta segments exceeds this, they are merged into
     # the base segment (amortized compaction; `vacuum()` always fully merges).
     max_segments: int = 8

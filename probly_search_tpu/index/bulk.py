@@ -26,7 +26,8 @@ from .segment import Segment, _unescape_one, escape_terms_fixed
 def _alloc_doc_rows(index, keys, field_length, is_last) -> int:
     """Allocate doc slots for a batch: grow the slot arrays, write
     field_length/liveness rows, register keys and live DocumentDetails.
-    Returns the base slot."""
+    ``is_last=None`` means every key is live (no intra-batch duplicates —
+    the sequential flush path's contract).  Returns the base slot."""
     n_new = len(keys)
     F = field_length.shape[1]
     base_slot = index._next_slot
@@ -40,15 +41,23 @@ def _alloc_doc_rows(index, keys, field_length, is_last) -> int:
         index._doc_len = doc_len
         index._alive = alive
     index._doc_len[base_slot : base_slot + n_new] = field_length
-    index._alive[base_slot : base_slot + n_new] = is_last
+    index._alive[base_slot : base_slot + n_new] = True if is_last is None else is_last
     index._next_slot = base_slot + n_new
     index._slot_to_key.extend(keys)
-    for i, k in enumerate(keys):
-        if is_last[i]:
-            index._key_to_slot[k] = base_slot + i
-            # field_length rows are views into the doc matrix (values are
-            # copied forward on growth, so views stay correct).
-            index._docs[k] = DocumentDetails(key=k, field_length=field_length[i])
+    docs = index._docs
+    # field_length rows are views into the doc matrix (values are copied
+    # forward on growth, so views stay correct); list() pre-extracts the
+    # row views in C instead of one numpy __getitem__ per doc.
+    rows = list(field_length)
+    if is_last is None:
+        index._key_to_slot.update(zip(keys, range(base_slot, base_slot + n_new)))
+        for k, row in zip(keys, rows):
+            docs[k] = DocumentDetails(k, row)
+    else:
+        for i, k in enumerate(keys):
+            if is_last[i]:
+                index._key_to_slot[k] = base_slot + i
+                docs[k] = DocumentDetails(k, rows[i])
     return base_slot
 
 
@@ -77,6 +86,9 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
 
     if n_new == 0:
         return
+    # Flush the sequential write buffer FIRST: buffered keys are not yet in
+    # _key_to_slot, so the existing-key scan below would miss them.
+    index._flush_pending()
     existing = [k for k in keys if k in index._key_to_slot]
     for k in existing:
         index.remove_document(k)
@@ -93,7 +105,17 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
             if not is_last[i]:
                 index._removed_keys.add(k)
 
-    index._flush_pending()
+    _bulk_ingest(index, keys, field_texts, tokenizer, is_last)
+
+
+def _bulk_ingest(index, keys, field_texts, tokenizer, is_last) -> None:
+    """Tokenize-to-segment core shared by ``bulk_add`` and the sequential
+    write buffer (``Index._flush_pending``).  Preconditions: doc slots not
+    yet allocated, existing keys already removed, ``is_last`` marks
+    intra-batch duplicate keys (``None`` = no duplicates, all live).
+    Appends one segment, updates field stats, bumps the index version."""
+    F = index._num_fields
+    n_new = len(keys)
 
     # --- tokenize + intern per field --------------------------------------
     # Native fast path (C++ tokenizer + interner, native/psearch_native.cpp)
@@ -103,29 +125,58 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
     from ..utils.tokenizers import whitespace_tokenizer as _default_tok
 
     use_native = tokenizer is _default_tok
-    if use_native:
-        from ..native import tokenize_csr_native, tokenize_index_native
+    from ..native import (
+        intern_csr_multi_native,
+        native_available,
+        tokenize_csr_multi_native,
+        tokenize_index_native,
+    )
 
-    # --- single-field native one-shot CSR fast path -----------------------
+    # --- native one-shot CSR fast path (any F, any tokenizer) -------------
     # tokenize + intern + tf counting + CSR pack all in one C++ pass
     # (O(tokens + postings)); the numpy pair machinery below costs several
-    # 8M-element packed sorts per 1M docs (PERFORMANCE.md r4).
-    if (
-        use_native
-        and F == 1
-        and not any(not isinstance(x, str) for x in field_texts[0])
-    ):
-        csr = tokenize_csr_native(list(field_texts[0]))
-        if csr is not None:
-            terms, term_lens, offsets, post_doc_local, post_tf1, lens = csr
-            field_length = np.asarray(lens, np.int64).reshape(n_new, 1)
+    # 8M-element packed sorts per 1M docs (PERFORMANCE.md r4).  Default
+    # tokenizer + single-value cells tokenize natively; custom tokenizers
+    # and multi-value cells tokenize in Python (the fn-pointer extension
+    # point, lib.rs:14) and feed the pre-tokenized intern+pack pass.
+    if F >= 1 and native_available():
+        all_str = all(
+            isinstance(x, str) for col in field_texts for x in col
+        )
+        if use_native and all_str:
+            out = tokenize_csr_multi_native([list(col) for col in field_texts])
+            lens_m = tots_m = out[5] if out is not None else None
+        else:
+            tokens_per_cell: List[List[bytes]] = []
+            lens_m = np.zeros((n_new, F), dtype=np.int64)
+            tots_m = np.zeros((n_new, F), dtype=np.int64)
+            for d in range(n_new):
+                for f in range(F):
+                    cell = field_texts[f][d]
+                    vals = [cell] if isinstance(cell, str) else list(cell)
+                    toks_b: List[bytes] = []
+                    last = 0
+                    for v in vals:
+                        vt = [t for t in tokenizer(v) if t]
+                        toks_b.extend(t.encode("utf-8") for t in vt)
+                        last = len(vt)
+                    tokens_per_cell.append(toks_b)
+                    # field_length is overwritten per value -> LAST value's
+                    # count (index.rs:112-114); sum accumulates every value.
+                    lens_m[d, f] = last if vals else 0
+                    tots_m[d, f] = len(toks_b)
+            out = intern_csr_multi_native(tokens_per_cell, n_new, F)
+        if out is not None:
+            terms, term_lens, offsets, post_doc_local, post_tf_m, _counts = out
+            field_length = np.asarray(lens_m, np.int64).reshape(n_new, F)
             base_slot = _alloc_doc_rows(index, keys, field_length, is_last)
             n_docs_after = len(index._docs)
-            fd = index._fields[0]
-            fd.sum += int(field_length[:, 0].sum()) - int(
-                field_length[~is_last, 0].sum()
-            )
-            fd.avg = fd.sum / float(n_docs_after)
+            for f in range(F):
+                fd = index._fields[f]
+                fd.sum += int(tots_m[:, f].sum()) - (
+                    0 if is_last is None else int(field_length[~is_last, f].sum())
+                )
+                fd.avg = fd.sum / float(n_docs_after)
             if len(post_doc_local):
                 index._segments.append(
                     Segment(
@@ -135,8 +186,8 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
                         post_doc=(post_doc_local.astype(np.int64) + base_slot).astype(
                             np.int32
                         ),
-                        post_tf=post_tf1.reshape(-1, 1).astype(np.int32),
-                        post_occ=post_tf1.astype(np.int32),
+                        post_tf=post_tf_m.astype(np.int32),
+                        post_occ=post_tf_m.sum(axis=1, dtype=np.int32),
                     )
                 )
             index._version += 1
@@ -216,7 +267,9 @@ def bulk_add(index, keys: Sequence[Any], field_texts: Sequence[Sequence[str]], t
         # (one += per value, index.rs:112-114); each intra-batch duplicate's
         # earlier occurrence is then removed, which subtracts only its
         # (last-value) field_length (index.rs:175-185).
-        fd.sum += int(field_tot_cols[f].sum()) - int(field_len_cols[f][~is_last].sum())
+        fd.sum += int(field_tot_cols[f].sum()) - (
+            0 if is_last is None else int(field_len_cols[f][~is_last].sum())
+        )
         fd.avg = fd.sum / float(n_docs_after)
 
     # --- merge field-local term tables into one global sorted table -------

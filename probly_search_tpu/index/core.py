@@ -54,6 +54,7 @@ bugs this engine chooses not to reproduce):
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
@@ -69,7 +70,7 @@ from ..models.base import (
     TermData,
 )
 from ..utils.tokenizers import whitespace_tokenizer
-from .segment import Segment, build_segment, merge_segments
+from .segment import Segment, merge_segments
 
 import threading
 
@@ -113,10 +114,18 @@ class Index:
         # Latent-removal bookkeeping (the `removed` set, index.rs:32).
         self._removed_keys: Set[Any] = set()
 
-        # Postings: immutable segments + pending host buffer.
+        # Postings: immutable segments + a sequential WRITE BUFFER.  An add
+        # only extracts field values and appends (key, values, tokenizer) —
+        # tokenize/intern/count/pack and even stats + slot registration are
+        # deferred to `_flush_pending`, which feeds the same native bulk
+        # pipeline as `add_documents_columnar` (index/bulk._bulk_ingest).
+        # Every reader flushes first, so the deferral is unobservable; the
+        # reference's per-add trie insertion (index.rs:77-158) has no
+        # analogue to preserve.  Append order == slot order (slots are
+        # monotonic), keeping the CSR doc-ascending invariant.
         self._segments: List[Segment] = []
-        self._pending: List[Tuple[int, Dict[str, np.ndarray]]] = []
-        self._pending_docs = 0
+        self._pending: List[Tuple[Any, List[Any], Any]] = []
+        self._pending_keys: Set[Any] = set()
 
         # Monotonic version for device-side cache invalidation.
         self._version = 0
@@ -160,11 +169,13 @@ class Index:
     @property
     def fields(self) -> List[FieldDetails]:
         """Per-field stats (`FieldDetails`, index.rs:389-396)."""
+        self._flush_pending()
         return self._fields
 
     @property
     def docs(self) -> Dict[Any, DocumentDetails]:
         """Live documents by key (the `docs` map, index.rs:21)."""
+        self._flush_pending()
         return self._docs
 
     @property
@@ -174,6 +185,7 @@ class Index:
 
     @property
     def num_segments(self) -> int:
+        self._flush_pending()
         return len(self._segments)
 
     @property
@@ -217,44 +229,28 @@ class Index:
         flush.  Re-adding an existing key removes the old doc first
         (documented divergence, see module docstring).
         """
+        if key in self._pending_keys:
+            # Duplicate of a BUFFERED doc: materialize first so the remove
+            # below sees it (a buffered key is not in _key_to_slot yet).
+            self._flush_pending()
         if key in self._key_to_slot:
+            # Re-add removes the old doc (index.rs:84-86 — documented
+            # divergence: the reference errors, we replace).  No flush:
+            # removes are eager, and stats commute (sum is additive; avg is
+            # recomputed from the final sum at the next flush, which every
+            # reader triggers before observing it).
             self.remove_document(key)
 
-        F = self._num_fields
-        field_length = np.zeros(F, dtype=np.int64)
-        term_counts: Dict[str, np.ndarray] = {}
-        n_before = len(self._docs)
-
-        for i in range(F):
-            field_values = field_accessors[i](doc)
-            fd = self._fields[i]
-            for field_value in field_values:
-                terms = tokenizer(field_value)
-                filtered_terms_count = 0
-                for term in terms:
-                    if term:
-                        filtered_terms_count += 1
-                        counts = term_counts.get(term)
-                        if counts is None:
-                            counts = np.zeros(F, dtype=np.int64)
-                            term_counts[term] = counts
-                        counts[i] += 1
-                # Exact reference bookkeeping (index.rs:112-114): update per
-                # field VALUE, denominator = pre-insert doc count + 1, and
-                # field_length overwritten (not accumulated).
-                fd.sum += filtered_terms_count
-                fd.avg = fd.sum / (n_before + 1.0)
-                field_length[i] = filtered_terms_count
-
-        slot = self._allocate_slot(key)
-        self._doc_len[slot] = field_length
-        self._alive[slot] = True
-        self._docs[key] = DocumentDetails(key=key, field_length=field_length)
-
-        self._pending.append((slot, term_counts))
-        self._pending_docs += 1
+        # Extract eagerly (the reference reads the doc at add time;
+        # deferring the ACCESSOR call would observe later mutations), but
+        # tokenize/count/pack lazily — the flush runs the native bulk
+        # pipeline over the whole buffer.
+        self._pending.append(
+            (key, [list(a(doc)) for a in field_accessors], tokenizer)
+        )
+        self._pending_keys.add(key)
         self._version += 1
-        if self._pending_docs >= self.config.pending_flush_docs:
+        if len(self._pending) >= self.config.pending_flush_docs:
             self._flush_pending()
 
     def add_documents(
@@ -283,6 +279,11 @@ class Index:
     def remove_document(self, key: Any) -> None:
         """Latent removal (index.rs:161-191): flips the liveness bit and
         updates field stats; postings stay until ``vacuum``."""
+        if key in self._pending_keys:
+            # Only a BUFFERED key forces materialization; removing an
+            # already-materialized doc is eager (stats commute — see
+            # add_document) so re-add-heavy workloads never flush per doc.
+            self._flush_pending()
         details = self._docs.get(key)
         if details is None:
             return
@@ -293,10 +294,15 @@ class Index:
             if fl > 0:
                 fd = self._fields[i]
                 fd.sum -= fl
-                # IEEE semantics: 0/0 -> nan, x/0 -> inf (matches Rust f64;
-                # asserted by the reference at index.rs:643).
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    fd.avg = float(np.float64(fd.sum) / np.float64(new_len))
+                # IEEE semantics: 0/0 -> nan, x/0 -> +/-inf (matches Rust
+                # f64; asserted by the reference at index.rs:643).  Plain
+                # scalar math — np.errstate per remove measured ~2 us.
+                if new_len:
+                    fd.avg = fd.sum / new_len
+                elif fd.sum:
+                    fd.avg = math.copysign(math.inf, fd.sum)
+                else:
+                    fd.avg = math.nan
         slot = self._key_to_slot.pop(key)
         self._alive[slot] = False
         del self._docs[key]
@@ -428,6 +434,7 @@ class Index:
         the whole batch; others (zero-to-one, custom host scorers) fall back
         to the exact host path per query.
         """
+        self._flush_pending()
         if score_calculator is None:
             from ..models import bm25 as _bm25
 
@@ -516,6 +523,7 @@ class Index:
         ``query_batch``: attached mesh -> sharded engine, two-phase scorers
         -> the z2o programs, one-phase -> the BM25-style window engine.
         Host-only scorers have no async path (raises ValueError)."""
+        self._flush_pending()
         if score_calculator is None:
             from ..models import bm25 as _bm25
 
@@ -612,43 +620,42 @@ class Index:
     # internals                                                           #
     # ------------------------------------------------------------------ #
 
-    def _allocate_slot(self, key: Any) -> int:
-        slot = self._next_slot
-        if slot >= len(self._alive):
-            new_cap = max(16, len(self._alive) * 2)
-            doc_len = np.zeros((new_cap, self._num_fields), dtype=np.int64)
-            doc_len[: len(self._doc_len)] = self._doc_len
-            alive = np.zeros(new_cap, dtype=bool)
-            alive[: len(self._alive)] = self._alive
-            self._doc_len = doc_len
-            self._alive = alive
-        self._next_slot += 1
-        self._key_to_slot[key] = slot
-        self._slot_to_key.append(key)
-        assert len(self._slot_to_key) == self._next_slot
-        return slot
-
     def _flush_pending(self) -> None:
         if not self._pending:
             return
-        rows_term: List[str] = []
-        rows_doc: List[int] = []
-        rows_tf: List[np.ndarray] = []
-        for slot, term_counts in self._pending:
-            for term, tf in term_counts.items():
-                rows_term.append(term)
-                rows_doc.append(slot)
-                rows_tf.append(tf)
-        seg = build_segment(
-            rows_term,
-            np.asarray(rows_doc, dtype=np.int32),
-            np.stack(rows_tf) if rows_tf else np.zeros((0, self._num_fields), np.int64),
-            self._num_fields,
-        )
-        if seg.num_postings:
-            self._segments.append(seg)
+        from .bulk import _bulk_ingest
+
+        pending = self._pending
         self._pending = []
-        self._pending_docs = 0
+        self._pending_keys = set()
+
+        F = self._num_fields
+        # Group consecutive rows by tokenizer identity (a per-call argument,
+        # lib.rs:14); each group is one bulk ingest — slot order is preserved
+        # because groups are consecutive and slots are monotonic.  Cells
+        # with exactly one string value pass as plain str so the group hits
+        # the native tokenize path; multi/empty-value cells pass as lists
+        # (the bulk multi-value machinery reproduces the per-value
+        # bookkeeping, index.rs:112-114).
+        i, n = 0, len(pending)
+        while i < n:
+            tok = pending[i][2]
+            j = i + 1
+            while j < n and pending[j][2] is tok:
+                j += 1
+            group = pending[i:j]
+            keys = [row[0] for row in group]
+            cols = [
+                [
+                    vals[f][0]
+                    if len(vals[f]) == 1 and type(vals[f][0]) is str
+                    else vals[f]
+                    for _, vals, _ in group
+                ]
+                for f in range(F)
+            ]
+            _bulk_ingest(self, keys, cols, tok, is_last=None)
+            i = j
         if len(self._segments) > self.config.max_segments:
             # Routine merge: keep latently-deleted postings (only vacuum drops).
             merged = merge_segments(self._segments, self._num_fields)

@@ -545,10 +545,13 @@ class DeviceIndex:
         P = self.num_postings
         # TRANSPOSED layout [R, P + C]: chunk gathers become [R, C] slices
         # with the chunk dimension minor (a [C, R] layout pads R to 128
-        # lanes and wastes ~40x HBM bandwidth).  R is padded to a multiple
-        # of 4 (Mosaic requires DMA slices sublane-tile aligned); 1 + 2F is
+        # lanes and wastes ~40x HBM bandwidth).  Mosaic's DMA row-tiling
+        # rule (measured on the real toolchain, benchmarks/probe_fused_z2o
+        # r5): row counts of 4 and 8 compile, 6 and 12 are rejected
+        # ("Slice shape along dimension 0 must be aligned to tiling (8)") —
+        # so pad R to 4 when it fits, else to a multiple of 8.  1 + 2F is
         # odd, so the liveness row 1 + 2F always fits inside the pad.
-        R = -(-(1 + 2 * F) // 4) * 4
+        R = 4 if (2 + 2 * F) <= 4 else -(-(2 + 2 * F) // 8) * 8
         rec = np.zeros((R, P + C), dtype=np.int32)
         rec[0] = -1  # slack tail: never in any job's payload range
         if P:

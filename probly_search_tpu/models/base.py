@@ -59,9 +59,12 @@ class FieldDetails:
     avg: float = 0.0
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class DocumentDetails:
-    """Per-document info (`index.rs:341-349`)."""
+    """Per-document info (`index.rs:341-349`).
+
+    ``slots=True``: the bulk build creates one of these per document — slot
+    instances construct ~2x faster and halve the per-doc memory."""
 
     key: Any
     field_length: np.ndarray  # int64[num_fields] — number of terms per field

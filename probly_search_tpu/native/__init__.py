@@ -7,6 +7,20 @@ optimization for the indexing pipeline (the analogue of the reference's
 Rust hot loop, `/root/reference/src/index.rs:90-157`).
 """
 
-from .build import get_lib, tokenize_csr_native, tokenize_index_native, native_available
+from .build import (
+    get_lib,
+    intern_csr_multi_native,
+    native_available,
+    tokenize_csr_multi_native,
+    tokenize_csr_native,
+    tokenize_index_native,
+)
 
-__all__ = ["get_lib", "tokenize_csr_native", "tokenize_index_native", "native_available"]
+__all__ = [
+    "get_lib",
+    "intern_csr_multi_native",
+    "native_available",
+    "tokenize_csr_multi_native",
+    "tokenize_csr_native",
+    "tokenize_index_native",
+]

@@ -155,9 +155,11 @@ def _z2o_kernel(
     c_qterm_ref,  # VMEM [1, ROWS, NC] int32
     c_score_ref,  # VMEM [1, ROWS, NC] f32 — per-job entry score s
     c_rank_ref,  # VMEM [1, ROWS, NC] int32 — per-query dense score rank
-    qlen_ref,  # VMEM [1, 1, ROWS] f32 — query_terms_len (incl. empties)
-    # (3D so the block's trailing two dims are (1, ROWS) = the full array
-    # dims — a (1, ROWS) 2D block fails Mosaic's sublane-divisibility rule)
+    c_qlen_ref,  # VMEM [1, ROWS, NC] f32 — query_terms_len (incl. empties),
+    # broadcast per chunk on host: a [ROWS]-shaped operand would need a
+    # [1,1,ROWS]->[ROWS,1,1] vector shape cast, which the REAL Mosaic
+    # backend rejects ("infer-vector-layout: unsupported shape cast" —
+    # benchmarks/probe_fused_z2o.py, r5)
     rec_ref,  # HBM [R, P + C] int32
     out_s_ref,  # VMEM [1, ROWS, k] f32
     out_d_ref,  # VMEM [1, ROWS, k] int32
@@ -215,18 +217,25 @@ def _z2o_kernel(
         jnp.where(cpos < c_skip[..., None], -1, _I32_MAX),
     )
     k1s[...] = k1.reshape(ROWS, L)
-    rank_l = jnp.broadcast_to(c_rank[..., None], (ROWS, NC, C)).reshape(ROWS, L)
-    k2s[...] = (rank_l << 14) | pos
+    # Build packed2 in [ROWS, NC, C] space with a materialized lane iota:
+    # reshaping a PURE broadcast of c_rank is a lane-replicated layout the
+    # real Mosaic backend rejects ("Not implemented: Unsupported reshape" —
+    # benchmarks/probe_fused_z2o.py, r5); OR-ing the iota in first gives the
+    # value a standard layout, and the [ROWS, NC, C] -> [ROWS, L] collapse
+    # then lowers exactly like k1's (the BM25 kernel's proven pattern).
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (ROWS, NC, C), 1) * C + cpos
+    k2 = (c_rank[..., None] << 14) | lane3
+    k2s[...] = k2.reshape(ROWS, L)
 
     s_l = jnp.broadcast_to(c_score[..., None], (ROWS, NC, C))
-    qlen = qlen_ref[0, 0]  # [ROWS]
+    qlen_c = c_qlen_ref[0]  # [ROWS, NC]
     for f in range(F):
         tf = g[:, :, 1 + f, :].astype(jnp.float32)
         flen = pltpu.bitcast(g[:, :, 1 + F + f, :], jnp.float32)
         contrib = (
             jnp.minimum(s_l / tf, 1.0)
             * tf
-            / jnp.maximum(flen, qlen[:, None, None])
+            / jnp.maximum(flen, qlen_c[..., None])
         )
         contrib = jnp.where(live & (tf > 0.0), contrib, -1.0)
         cs[:, f * L : (f + 1) * L] = contrib.reshape(ROWS, L)
@@ -345,9 +354,7 @@ def fused_z2o_topk(
             table(pltpu.VMEM),
             table(pltpu.VMEM),
             table(pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, rows), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
+            table(pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -375,7 +382,7 @@ def fused_z2o_topk(
         r3(c_qterm),
         r3(c_score),
         r3(c_rank),
-        qlen.reshape(G, 1, rows),
+        r3(jnp.broadcast_to(jnp.asarray(qlen)[:, None], (B, NC))),
         rec,
     )
     return out_s.reshape(B, k), out_d.reshape(B, k)

@@ -393,7 +393,7 @@ class ShardedDeviceIndex:
             # z2o_fast_step); only shards beyond the same 2^27 capacity as
             # the BM25 merge key route to the vectorized host lockstep.
             fallback.extend(range(B))
-            return None, None, qlen, None, None, fallback
+            return None, None, qlen, None, None, fallback, None
         filt = [[t for t in toks if t] for toks in tok_lists]
         max_terms = min(cfg.max_query_terms, 1 << self._qterm_bits)
         for qi, toks in enumerate(filt):
@@ -403,7 +403,7 @@ class ShardedDeviceIndex:
         counts = np.array([len(t) for t in filt], dtype=np.int64)
         total_terms = int(counts.sum())
         if total_terms == 0 or len(self.terms) == 0:
-            return None, None, qlen, None, None, fallback
+            return None, None, qlen, None, None, fallback, None
         flat_query = np.repeat(np.arange(B, dtype=np.int64), counts)
         flat_qterm = _segment_arange(counts)
         from ..index.segment import probe_terms_fixed
@@ -415,31 +415,51 @@ class ShardedDeviceIndex:
         hi = np.searchsorted(self.terms, np.char.add(flat_terms, _MAX_CHAR), side="left")
         nexp = hi - lo
         if nexp.max(initial=0) == 0:
-            return None, None, qlen, None, None, fallback
+            return None, None, qlen, None, None, fallback, None
         tid = np.repeat(lo, nexp) + _segment_arange(nexp)
         jidx = np.repeat(np.arange(total_terms, dtype=np.int64), nexp)
         jdf = self.g_live_cum[self.g_offsets[tid + 1]] - self.g_live_cum[self.g_offsets[tid]]
         keep = jdf > 0  # df == 0 expansions never scored (query.rs:48)
         tid, jidx = tid[keep], jidx[keep]
         if len(tid) == 0:
-            return None, None, qlen, None, None, fallback
+            return None, None, qlen, None, None, fallback, None
         jquery = flat_query[jidx]
         jqterm = flat_qterm[jidx]
 
         # Shared-node detection (node identity == merged tid per query):
-        # those queries need the lockstep pool semantics -> host lockstep.
+        # those queries need the lockstep pool semantics.  They get their
+        # OWN per-shard job tables (word 2 = dense per-query node id) and
+        # run the exact lockstep program per shard (z2o_step is per-(doc,
+        # field) local, so doc-sharding composes; VERDICT r2 item 6) —
+        # host fallback only past the lockstep caps (F > 8, > 16 terms,
+        # > 16384 local entry lanes).
         o3 = np.lexsort((jqterm, tid, jquery))
         samegrp = (jquery[o3][1:] == jquery[o3][:-1]) & (tid[o3][1:] == tid[o3][:-1])
         diffq = jqterm[o3][1:] != jqterm[o3][:-1]
         shared_q = np.unique(jquery[o3][1:][samegrp & diffq])
+        lock_pack = None
         if len(shared_q):
-            fallback.extend(int(q) for q in shared_q)
-            keep2 = ~np.isin(jquery, shared_q)
+            sharedm = np.isin(jquery, shared_q)
+            lock_ok = self.num_fields <= 8 and self.num_fields >= 1
+            qt_ok = np.ones(B, bool)
+            over_terms = np.flatnonzero(counts > 16)
+            if len(over_terms):
+                qt_ok[over_terms] = False
+            lkeep = sharedm & lock_ok & qt_ok[jquery]
+            lhost = sharedm & ~(lock_ok & qt_ok[jquery])
+            if lhost.any():
+                fallback.extend(int(q) for q in np.unique(jquery[lhost]))
+            if lkeep.any():
+                lock_pack = self._build_z2o_lockstep_pack(
+                    tid[lkeep], jidx[lkeep], jquery[lkeep], jqterm[lkeep],
+                    flat_blen, B, fallback,
+                )
+            keep2 = ~sharedm
             tid, jidx, jquery, jqterm = (
                 tid[keep2], jidx[keep2], jquery[keep2], jqterm[keep2]
             )
             if len(tid) == 0:
-                return None, None, qlen, None, None, fallback
+                return None, None, qlen, None, None, fallback, lock_pack
 
         # Entry score (zero_to_one.rs:57-58, byte lengths).
         tlen = self.term_lens[tid].astype(np.float64)
@@ -501,21 +521,80 @@ class ShardedDeviceIndex:
             words = words[:, keep_j]
             max_chunks[over] = 0
             if len(jquery) == 0:
-                return None, None, qlen, None, None, fallback
+                return None, None, qlen, None, None, fallback, None
         njobs = np.bincount(jquery, minlength=B)
-        return jquery, words, qlen, max_chunks, njobs, fallback
+        return jquery, words, qlen, max_chunks, njobs, fallback, lock_pack
 
-    def _get_z2o_window_step(self, class_specs, k: int):
+    def _build_z2o_lockstep_pack(
+        self, tid, jidx, jquery, jqterm, flat_blen, B, fallback
+    ):
+        """Per-shard lockstep job tables for shared-node queries.
+
+        Word layout matches ``ops.z2o_device.z2o_step``: (start, len |
+        qterm << 26, node_id, score_f32_bits); node ids are dense per query
+        over distinct merged tids (the arena-identity rule,
+        zero_to_one.rs:75).  The pool semantics are per-(doc, field) and a
+        doc lives on exactly one shard, so running the lockstep program per
+        shard over its local postings composes exactly.  Queries past the
+        lockstep lane cap (16384 LOCAL entry lanes — the remote-compiler
+        bound, CLAUDE.md) fall back to host and are appended to
+        ``fallback``.  Returns ``(jquery, words[n, NJOBS, 4], max_chunks,
+        njobs)`` or None.
+        """
+        n = self.n_shards
+        C = self.CHUNK
+        F = max(self.num_fields, 1)
+        o = np.lexsort((tid, jquery))
+        tid_o, jq_o = tid[o], jquery[o]
+        newn = np.ones(len(o), bool)
+        newn[1:] = (jq_o[1:] != jq_o[:-1]) | (tid_o[1:] != tid_o[:-1])
+        grp = np.cumsum(newn) - 1
+        qnew = np.ones(len(o), bool)
+        qnew[1:] = jq_o[1:] != jq_o[:-1]
+        qfirst = np.maximum.accumulate(np.where(qnew, grp, -1))
+        node = np.empty(len(o), np.int64)
+        node[o] = grp - qfirst
+
+        tlen = self.term_lens[tid].astype(np.float64)
+        score = (1.0 - np.abs(tlen - flat_blen[jidx]) / tlen).astype(np.float32)
+        starts_all = self.offsets_sh[:, tid]
+        lens_all = (self.offsets_sh[:, tid + 1] - starts_all).astype(np.int64)
+        words = np.zeros((n, len(tid), 4), dtype=np.int32)
+        words[:, :, 0] = starts_all
+        words[:, :, 1] = lens_all | (jqterm << _LEN_BITS)[None, :]
+        words[:, :, 2] = node[None, :]
+        words[:, :, 3] = score.view(np.int32)[None, :]
+
+        CP = C - 128
+        chunks_all = (lens_all + CP - 1) // CP
+        max_chunks = np.zeros(B, dtype=np.int64)
+        for s in range(n):
+            nch = np.bincount(
+                jquery, weights=chunks_all[s].astype(np.float64), minlength=B
+            )
+            np.maximum(max_chunks, nch.astype(np.int64), out=max_chunks)
+        nc_bucket = _bucket_vec(max_chunks, self.NC_BUCKETS, 4)
+        over = np.flatnonzero((max_chunks > 0) & (nc_bucket * C * F > 16384))
+        if len(over):
+            fallback.extend(int(q) for q in over)
+            keep = ~np.isin(jquery, over)
+            jquery, words = jquery[keep], words[:, keep]
+            if len(jquery) == 0:
+                return None
+        njobs = np.bincount(jquery, minlength=B)
+        return jquery, words, max_chunks, njobs
+
+    def _get_z2o_window_step(self, class_specs, k: int, lockstep: bool = False):
         from ..index import device as _dev
 
         # _FUSED_MODE is read at trace time inside z2o_fast_step — distinct
         # modes (tests force "interpret") need distinct jitted programs.
-        key = ("z2o", class_specs, k, _dev._FUSED_MODE)
+        key = ("z2o_lock" if lockstep else "z2o", class_specs, k, _dev._FUSED_MODE)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
 
-        from ..ops.z2o_device import z2o_fast_step
+        from ..ops.z2o_device import z2o_fast_step, z2o_step
 
         mesh = self.mesh
         n = self.n_shards
@@ -540,17 +619,30 @@ class ShardedDeviceIndex:
                 ql_c = ql[qoff : qoff + b_pad]
                 qoff += b_pad
                 kk = min(k, nc * C * max(F, 1))
-                s, d_local = z2o_fast_step(
-                    chunk=C,
-                    k=kk,
-                    num_fields=F,
-                    num_chunks=nc,
-                    rec=rec_l,
-                    jobs_flat=jobs_l,
-                    qlen=ql_c,
-                    fused_ok=self.local_slots < (1 << 26),
-                    fused_mode=fused_mode,
-                )
+                if lockstep:
+                    # Exact pool-consumption program per shard (z2o_step is
+                    # per-(doc, field) local; doc-sharding composes).
+                    s, d_local = z2o_step(
+                        chunk=C,
+                        k=kk,
+                        num_fields=F,
+                        num_chunks=nc,
+                        rec=rec_l,
+                        jobs_flat=jobs_l,
+                        qlen=ql_c,
+                    )
+                else:
+                    s, d_local = z2o_fast_step(
+                        chunk=C,
+                        k=kk,
+                        num_fields=F,
+                        num_chunks=nc,
+                        rec=rec_l,
+                        jobs_flat=jobs_l,
+                        qlen=ql_c,
+                        fused_ok=self.local_slots < (1 << 26),
+                        fused_mode=fused_mode,
+                    )
                 if kk < k:
                     s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
                     d_local = jnp.pad(d_local, ((0, 0), (0, k - kk)), constant_values=-1)
@@ -593,9 +685,10 @@ class ShardedDeviceIndex:
         tokenizer=whitespace_tokenizer,
         top_k: Optional[int] = None,
     ) -> "ShardedPendingBatch":
-        """Async zero-to-one batch over the mesh (fast program only;
-        shared-node / cap-exceeding queries run the vectorized host
-        lockstep).  Drain via ``.get()`` / ``.get_arrays()``."""
+        """Async zero-to-one batch over the mesh.  Shared-node queries run
+        the exact lockstep program per shard as a second dispatch; only
+        cap-exceeding queries run the vectorized host lockstep.  Drain via
+        ``.get()`` / ``.get_arrays()``."""
         from ..models import zero_to_one as _z2o
         from ..utils.metrics import metrics
 
@@ -603,9 +696,9 @@ class ShardedDeviceIndex:
         B = len(queries)
         metrics.inc("sharded_queries_submitted", B)
         with metrics.timer("sharded/plan"):
-            jquery, words, qlen, max_chunks, njobs, fallback = self.plan_batch_z2o(
-                queries, tokenizer
-            )
+            (
+                jquery, words, qlen, max_chunks, njobs, fallback, lock_pack,
+            ) = self.plan_batch_z2o(queries, tokenizer)
         host_rows = None
         if fallback:
             metrics.inc("device_fallback_queries", len(fallback))
@@ -623,13 +716,13 @@ class ShardedDeviceIndex:
                 )
                 for qi in fallback
             }
-        if jquery is None:
+        if jquery is None and lock_pack is None:
             return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
         n = self.n_shards
         d_ax = int(self.mesh.shape["data"])
 
-        with metrics.timer("sharded/pack"):
-            nc_bucket = _bucket_vec(max_chunks, self.NC_BUCKETS, 4)
+        def pack_classes(jquery_p, words_p, max_chunks_p, njobs_p, qlen_p):
+            nc_bucket = _bucket_vec(max_chunks_p, self.NC_BUCKETS, 4)
             class_specs = []
             layout = []
             flat_parts = [[] for _ in range(n)]
@@ -637,22 +730,22 @@ class ShardedDeviceIndex:
             row_base = 0
             for nc in np.unique(nc_bucket):
                 nc = int(nc)
-                members = np.flatnonzero((nc_bucket == nc) & (njobs > 0))
+                members = np.flatnonzero((nc_bucket == nc) & (njobs_p > 0))
                 if len(members) == 0:
                     continue
-                nj = _bucket(int(njobs[members].max()), self.NJ_BUCKETS, 4)
+                nj = _bucket(int(njobs_p[members].max()), self.NJ_BUCKETS, 4)
                 b_pad = max(8, 1 << (-(-len(members) // d_ax) - 1).bit_length())
                 rank = np.arange(len(members))
                 drow = rank // b_pad
                 dslot = rank % b_pad
                 jobs_cls = np.zeros((n, d_ax, b_pad, nj, 4), dtype=np.int32)
-                sel = np.isin(jquery, members)
-                jq = jquery[sel]
+                sel = np.isin(jquery_p, members)
+                jq = jquery_p[sel]
                 pos = _segment_arange(np.bincount(jq, minlength=B)[members])
                 r = np.searchsorted(members, jq)
-                jobs_cls[:, drow[r], dslot[r], pos] = words[:, sel]
+                jobs_cls[:, drow[r], dslot[r], pos] = words_p[:, sel]
                 qlen_cls = np.ones((d_ax, b_pad), np.float32)
-                qlen_cls[drow, dslot] = qlen[members]
+                qlen_cls[drow, dslot] = qlen_p[members]
                 for s in range(n):
                     flat_parts[s].append(jobs_cls[s].reshape(d_ax, -1))
                 qlen_parts.append(qlen_cls)
@@ -660,17 +753,45 @@ class ShardedDeviceIndex:
                 layout.append((members, drow, dslot, row_base))
                 row_base += b_pad
             if not class_specs:
-                return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
+                return None
             buf = np.stack([np.concatenate(parts, axis=1) for parts in flat_parts])
             qcat = np.concatenate(qlen_parts, axis=1)  # [d_ax, total_rows]
             qbuf = np.broadcast_to(qcat[None], (n,) + qcat.shape).copy()
+            return class_specs, layout, buf, qbuf
 
-        step = self._get_z2o_window_step(tuple(class_specs), k)
+        dispatches = []  # (packed, layout) pairs
+        sharding = NamedSharding(self.mesh, P("docs", "data", None))
+        with metrics.timer("sharded/pack"):
+            packs = []
+            if jquery is not None:
+                fast = pack_classes(jquery, words, max_chunks, njobs, qlen)
+                if fast is not None:
+                    packs.append((fast, False))
+            if lock_pack is not None:
+                ljq, lwords, lmax_chunks, lnjobs = lock_pack
+                metrics.inc("z2o_sharded_lockstep_queries", int((lnjobs > 0).sum()))
+                lock = pack_classes(ljq, lwords, lmax_chunks, lnjobs, qlen)
+                if lock is not None:
+                    packs.append((lock, True))
+            if not packs:
+                return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
+
         with metrics.timer("sharded/dispatch"):
-            buf_dev = jax.device_put(buf, NamedSharding(self.mesh, P("docs", "data", None)))
-            q_dev = jax.device_put(qbuf, NamedSharding(self.mesh, P("docs", "data", None)))
-            packed = step(self.rec, buf_dev, q_dev)
-        return ShardedPendingBatch(self, B, packed, layout, host_rows, k=k)
+            for (class_specs, layout, buf, qbuf), is_lock in packs:
+                step = self._get_z2o_window_step(
+                    tuple(class_specs), k, lockstep=is_lock
+                )
+                buf_dev = jax.device_put(buf, sharding)
+                q_dev = jax.device_put(qbuf, sharding)
+                dispatches.append((step(self.rec, buf_dev, q_dev), layout))
+        return ShardedPendingBatch(
+            self,
+            B,
+            [d[0] for d in dispatches],
+            [d[1] for d in dispatches],
+            host_rows,
+            k=k,
+        )
 
     # ------------------------------------------------------------------ #
     # execution                                                           #
@@ -900,7 +1021,10 @@ class ShardedPendingBatch:
     def __init__(self, sdix, n, packed, layout, host_rows=None, k=None) -> None:
         self._sdix = sdix
         self._n = n
-        self._packed = packed  # [n_shards, d_ax, SB, 2, k] (replicated over docs)
+        # One dispatch (BM25 window) or a list of them (z2o fast +
+        # lockstep); each packed is [n_shards, d_ax, SB, 2, k] (replicated
+        # over docs) with its own layout.
+        self._packed = packed
         self._layout = layout
         self._host_rows = host_rows
         # The submitted top_k: sizes the all-host-fallback result arrays
@@ -945,15 +1069,22 @@ class ShardedPendingBatch:
                 scores = np.full((self._n, k), -np.inf, np.float32)
                 slots = np.full((self._n, k), -1, np.int32)
             else:
-                packed = np.asarray(self._packed)[0]  # [d_ax, SB, 2, k]
-                k = packed.shape[-1]
-                p_scores = packed[:, :, 0, :].view(np.float32)
-                p_slots = packed[:, :, 1, :]
-                scores = np.full((self._n, k), -np.inf, np.float32)
-                slots = np.full((self._n, k), -1, np.int32)
-                for members, drow, dslot, row_base in self._layout:
-                    scores[members] = p_scores[drow, row_base + dslot]
-                    slots[members] = p_slots[drow, row_base + dslot]
+                many = isinstance(self._packed, list)
+                packs = self._packed if many else [self._packed]
+                layouts = self._layout if many else [self._layout]
+                k = None
+                scores = slots = None
+                for packed_dev, layout in zip(packs, layouts):
+                    packed = np.asarray(packed_dev)[0]  # [d_ax, SB, 2, k]
+                    if scores is None:
+                        k = packed.shape[-1]
+                        scores = np.full((self._n, k), -np.inf, np.float32)
+                        slots = np.full((self._n, k), -1, np.int32)
+                    p_scores = packed[:, :, 0, :].view(np.float32)
+                    p_slots = packed[:, :, 1, :]
+                    for members, drow, dslot, row_base in layout:
+                        scores[members] = p_scores[drow, row_base + dslot]
+                        slots[members] = p_slots[drow, row_base + dslot]
                 slots = np.where(np.isfinite(scores), slots, -1)
             keys = None
             if want_keys:

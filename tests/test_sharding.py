@@ -287,6 +287,63 @@ class TestShardedZeroToOne:
         rows = sdix.query_batch_z2o(queries, zero_to_one.new(), top_k=10).get()
         self._assert_z2o_rows(ix, queries, rows)
 
+    def test_sharded_z2o_wide_schema_runs_on_device(self):
+        """F=12 z2o on the mesh (VERDICT r2 item 6): fields ride as sort
+        VALUES in the fast program, so wide schemas must run on-device —
+        not fall back to host wholesale."""
+        import random as _r
+
+        from probly_search_tpu import whitespace_tokenizer, zero_to_one
+        from probly_search_tpu.utils.metrics import metrics
+
+        F = 12
+        rng = _r.Random(41)
+        vocab = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 4)))
+                 for _ in range(40)]
+        ix = Index(F)
+        accs = [(lambda f: (lambda d: [d[f]]))(f) for f in range(F)]
+        for i in range(90):
+            row = tuple(
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 3)))
+                for _ in range(F)
+            )
+            ix.add_document(accs, whitespace_tokenizer, i, row)
+        for i in range(0, 90, 11):
+            ix.remove_document(i)
+
+        queries = [vocab[0], f"{vocab[1]} {vocab[2]}", vocab[3][:1], ""]
+        metrics.reset()
+        sdix = ShardedDeviceIndex(ix, make_mesh(data=2, docs=4))
+        rows = sdix.query_batch_z2o(queries, zero_to_one.new(), top_k=10).get()
+        snap = metrics.snapshot()["counters"]
+        # the non-empty queries must NOT have degraded to host
+        assert snap.get("device_fallback_queries", 0) == 0, snap
+        assert snap.get("z2o_host_vectorized_queries", 0) == 0, snap
+        self._assert_z2o_rows(ix, queries, rows)
+
+    def test_sharded_z2o_shared_node_runs_lockstep_on_device(self):
+        """Shared-node queries (duplicate terms / overlapping expansions)
+        run the exact lockstep program PER SHARD (VERDICT r2 item 6) —
+        only cap-exceeding queries may fall back to host."""
+        from probly_search_tpu import whitespace_tokenizer, zero_to_one
+        from probly_search_tpu.utils.metrics import metrics
+
+        ix, vocab = self._two_field_index(n=160, seed=37)
+        t = vocab[2]
+        queries = [
+            f"{t} {t}",            # duplicate term -> one shared node
+            f"{t[:1]} {t}",        # prefix overlap -> shared node
+            f"{t} {vocab[5]} {t}",
+            vocab[7],              # plain fast-program query in the same batch
+        ]
+        metrics.reset()
+        sdix = ShardedDeviceIndex(ix, make_mesh(data=2, docs=4))
+        rows = sdix.query_batch_z2o(queries, zero_to_one.new(), top_k=10).get()
+        snap = metrics.snapshot()["counters"]
+        assert snap.get("z2o_sharded_lockstep_queries", 0) >= 3, snap
+        assert snap.get("device_fallback_queries", 0) == 0, snap
+        self._assert_z2o_rows(ix, queries, rows)
+
     def test_attach_mesh_routes_z2o(self):
         from probly_search_tpu import zero_to_one
 

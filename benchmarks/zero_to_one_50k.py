@@ -49,9 +49,10 @@ def main():
     # Title-like queries: top-50 stopword ranks excluded (a label-matching
     # scorer is not served stopword queries; with them, every doc matches
     # and the engine correctly degrades to the host lockstep path).
-    # 2048-query serving batches: the fixed sync+fetch round trip (~60 ms)
-    # dominates smaller batches (r2 A/B: 512 -> 6.8k QPS, 2048 -> 9.2k).
-    n_queries = 2048
+    # 8192-query serving batches: the fixed sync+fetch round trip (~60 ms)
+    # dominates smaller batches (r5 session 4 interleaved A/B: 2048 ->
+    # 49k QPS, 4096 -> 69k, 8192 -> 72k).
+    n_queries = 8192
     lo = cdf[49]
     qids = np.searchsorted(cdf, lo + rng.random((n_queries, 2)) * (1.0 - lo))
     queries = [" ".join(row) for row in vocab[np.minimum(qids, len(vocab) - 1)]]
@@ -62,21 +63,28 @@ def main():
     # in small slices first so progress is visible and the persistent
     # compile cache accumulates even if a run is cut short, then once at
     # the full timed batch shape (dispatch shapes depend on batch size).
+    from probly_search_tpu.ops.z2o_device import z2o_query_batch_async
+
+    dix = ix.device_index()
     t0 = time.time()
-    for s in range(0, n_queries, 512):
-        ix.query_batch(queries[s : s + 512], scorer, top_k=10, backend="device")
-        log(f"warm {s + 512}/{n_queries} ({time.time() - t0:.0f}s)")
-    ix.query_batch(queries, scorer, top_k=10, backend="device")
+    for s in range(0, n_queries, 2048):
+        z2o_query_batch_async(
+            dix, queries[s : s + 2048], whitespace_tokenizer, 10, fmt="slots"
+        ).get_arrays()
+        log(f"warm {s + 2048}/{n_queries} ({time.time() - t0:.0f}s)")
+    z2o_query_batch_async(
+        dix, queries, whitespace_tokenizer, 10, fmt="slots"
+    ).get_arrays()
     log(f"warm full batch ({time.time() - t0:.0f}s)")
 
     # Timed: pipelined async windows drained through the columnar serving
     # surface (z2o shares the BM25 engine's PendingBatch), median of 3
-    # sections (tunnel throughput swings minute to minute).
+    # sections (tunnel throughput swings minute to minute).  Serving mode:
+    # slots-only drain (30 B/query vs 80 f32) — the drain fetch was 80 ms
+    # of the 114 ms window at 8192 queries (r5 session 4); rankings are
+    # computed on device in f32 identically in every format.
     from concurrent.futures import ThreadPoolExecutor
 
-    from probly_search_tpu.ops.z2o_device import z2o_query_batch_async
-
-    dix = ix.device_index()
     n_passes = 6
     depth = 3
 
@@ -85,7 +93,9 @@ def main():
         with ThreadPoolExecutor(max_workers=1) as pool:
             futs = []
             for _ in range(n_passes):
-                h = z2o_query_batch_async(dix, queries, whitespace_tokenizer, 10)
+                h = z2o_query_batch_async(
+                    dix, queries, whitespace_tokenizer, 10, fmt="slots"
+                )
                 futs.append(pool.submit(h.get_arrays))
                 if len(futs) >= depth:
                     futs.pop(0).result()
@@ -123,6 +133,10 @@ def main():
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": None,
+                "window_size": n_queries,
+                "result_format": "slots",
+                "drained_bytes_per_query": 30,
+                "qps_sections": [round(s, 1) for s in sections],
             }
         )
     )

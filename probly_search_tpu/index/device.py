@@ -580,6 +580,9 @@ class DeviceIndex:
         # ~37 ms/16k-window of tokenize + probe + gather otherwise
         # (benchmarks/profile_plan.py), on the serving main thread.
         self._qplan_pools: Dict[Any, Dict[str, Any]] = {}
+        # Per-tokenizer pooled z2o query-plan cache (ops/z2o_device.py
+        # plan_batch_z2o) — same shape as _qplan_pools, same lock.
+        self._z2o_qplans: Dict[Any, Dict[str, Any]] = {}
         self._plan_lock = threading.RLock()
         # Aux record array (per-posting static scoring metadata for
         # term-range jobs), built lazily per scorer on the first

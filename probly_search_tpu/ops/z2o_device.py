@@ -424,14 +424,99 @@ def z2o_fast_step(
 
 
 def plan_batch_z2o(dix, queries, tokenizer):
-    """Plan a z2o batch into 4-word job tables.
+    """Plan a z2o batch into 4-word job tables (pooled per query string).
 
     Returns ``(jquery, words int32[NJOBS, 4], qlen f32[B], nchunks, njobs,
-    fallback)`` or ``(None, fallback)``-shaped ``(None, ..., fallback)``.
-    Node ids are per DISTINCT expanded term within a query (the reference's
-    arena-index identity, zero_to_one.rs:75) — shared across query terms
-    that expand to the same term, and across segments.
+    fallback, shared)``.  The per-query plan (job rows, qlen, chunk totals,
+    shared-node flag, cap fallbacks) is snapshot-static AND query-local —
+    every cap check in the impl groups by query — so it pools per
+    (DeviceIndex, tokenizer) exactly like the BM25 query-plan cache
+    (index/device.py plan_batch): repeated queries cost one dict lookup
+    plus a CSR gather.  Measured 66 ms/8192-query window of tokenize +
+    probe + node-id assembly otherwise (r5 session 4), on the serving
+    main thread.
     """
+    from ..index.device import _segment_arange
+
+    with dix._plan_lock:
+        pools = dix._z2o_qplans
+        pool = pools.get(tokenizer)
+        if pool is None or (
+            len(pool["ids"]) > dix._QPLAN_MAX_QUERIES
+            or len(pool["words"]) > dix._QPLAN_MAX_ROWS
+        ):
+            pool = {
+                "ids": {},  # query string -> dense qid
+                "off": np.zeros(1, dtype=np.int64),
+                "words": np.zeros((0, 4), dtype=np.int32),
+                "qlen": np.zeros(0, dtype=np.float32),
+                "nchunks": np.zeros(0, dtype=np.int64),
+                "njobs": np.zeros(0, dtype=np.int64),
+                "shared": np.zeros(0, dtype=bool),
+                "fallback": np.zeros(0, dtype=bool),
+            }
+            pools[tokenizer] = pool
+        ids = pool["ids"]
+        B = len(queries)
+        qids = np.fromiter((ids.get(q, -1) for q in queries), np.int64, count=B)
+        if (qids < 0).any():
+            miss = sorted({queries[i] for i in np.flatnonzero(qids < 0)})
+            _z2o_qplan_insert(dix, pool, miss, tokenizer)
+            qids = np.fromiter((ids[q] for q in queries), np.int64, count=B)
+        qlen = pool["qlen"][qids]
+        fallback = [int(i) for i in np.flatnonzero(pool["fallback"][qids])]
+        nj = pool["njobs"][qids]
+        if int(nj.sum()) == 0:
+            return None, None, qlen, None, None, fallback, None
+        jquery = np.repeat(np.arange(B, dtype=np.int64), nj)
+        rows = np.repeat(pool["off"][qids], nj) + _segment_arange(nj)
+        return (
+            jquery,
+            pool["words"][rows],
+            qlen,
+            pool["nchunks"][qids],
+            nj,
+            fallback,
+            pool["shared"][qids],
+        )
+
+
+def _z2o_qplan_insert(dix, pool, miss, tokenizer):
+    """Plan first-seen queries through the full path and pool the per-query
+    job rows (rows of query i are contiguous: the impl's ``jquery`` is
+    grouped ascending by construction — jobs are built in term-instance
+    order and every filter preserves it)."""
+    jquery, words, qlen, nchunks, njobs, fb, shared = _plan_batch_z2o_impl(
+        dix, miss, tokenizer
+    )
+    M = len(miss)
+    fb_m = np.zeros(M, dtype=bool)
+    fb_m[list(fb)] = True
+    if jquery is None:
+        njobs_m = np.zeros(M, dtype=np.int64)
+        words_m = np.zeros((0, 4), dtype=np.int32)
+        nchunks_m = np.zeros(M, dtype=np.int64)
+        shared_m = np.zeros(M, dtype=bool)
+    else:
+        assert (np.diff(jquery) >= 0).all()
+        njobs_m = njobs.astype(np.int64)
+        words_m = words
+        nchunks_m = nchunks
+        shared_m = shared
+    base = len(pool["off"]) - 1
+    for i, q in enumerate(miss):
+        pool["ids"][q] = base + i
+    pool["off"] = np.concatenate([pool["off"], pool["off"][-1] + np.cumsum(njobs_m)])
+    pool["words"] = np.concatenate([pool["words"], words_m])
+    pool["qlen"] = np.concatenate([pool["qlen"], qlen.astype(np.float32)])
+    pool["nchunks"] = np.concatenate([pool["nchunks"], nchunks_m])
+    pool["njobs"] = np.concatenate([pool["njobs"], njobs_m])
+    pool["shared"] = np.concatenate([pool["shared"], shared_m])
+    pool["fallback"] = np.concatenate([pool["fallback"], fb_m])
+
+
+def _plan_batch_z2o_impl(dix, queries, tokenizer):
+    """The full (uncached) z2o planning pass — see plan_batch_z2o."""
     from ..index.device import _MAX_CHAR, _segment_arange
 
     cfg = dix.config
@@ -597,7 +682,7 @@ _Z2O_STEP_CACHE = {}
 
 def _z2o_window_step_impl(
     rec, words_flat, qlen_flat, *, chunk, k, num_fields, class_specs,
-    fused_ok=True, fused_mode="auto",
+    fused_ok=True, fused_mode="auto", fmt="f32",
 ):
     """Every z2o shape class of a batch in ONE device program.
 
@@ -606,6 +691,13 @@ def _z2o_window_step_impl(
     result — the whole batch pays a single dispatch round trip and one
     D2H fetch instead of one per class (the per-class sync path measured
     ~1.3 ms/query of pure round-trip cost on the tunnel).
+
+    ``fmt`` composes the packed result exactly like the BM25 window
+    (index/device.py `_window_step_impl`): "f32" int32[rows, 2, k],
+    "compact" int16[rows, 3, k] (f16 score bits + slot halves), "slots"
+    int8[rows, 3, k] (slot bytes only).  Ranking is fixed in f32 by top_k
+    before any narrowing; the drain fetch is the z2o serving pace-setter
+    at 8192-query windows (80 ms of the 114 ms window, r5 session 4).
     """
     import jax.numpy as jnp
 
@@ -646,7 +738,20 @@ def _z2o_window_step_impl(
         if kk < k:
             s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
             d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=-1)
-        outs.append(jnp.stack([jax.lax.bitcast_convert_type(s, jnp.int32), d], axis=1))
+        if fmt == "compact":
+            s16 = jax.lax.bitcast_convert_type(s.astype(jnp.float16), jnp.int16)
+            lo = (d & 0xFFFF).astype(jnp.int16)
+            hi = ((d >> 16) & 0xFFFF).astype(jnp.int16)
+            outs.append(jnp.stack([s16, lo, hi], axis=1))
+        elif fmt == "slots":
+            lo = (d & 0xFF).astype(jnp.int8)
+            mid = ((d >> 8) & 0xFF).astype(jnp.int8)
+            hi = ((d >> 16) & 0xFF).astype(jnp.int8)
+            outs.append(jnp.stack([lo, mid, hi], axis=1))
+        else:
+            outs.append(
+                jnp.stack([jax.lax.bitcast_convert_type(s, jnp.int32), d], axis=1)
+            )
     return jnp.concatenate(outs, axis=0)
 
 
@@ -661,7 +766,7 @@ def _get_z2o_window_step():
             _z2o_window_step_impl,
             static_argnames=(
                 "chunk", "k", "num_fields", "class_specs", "fused_ok",
-                "fused_mode",
+                "fused_mode", "fmt",
             ),
         )
         _Z2O_STEP_CACHE["window"] = fn
@@ -673,14 +778,18 @@ def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
     return z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=scorer).get()
 
 
-def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
+def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None, fmt=None):
     """Plan + dispatch a zero-to-one batch without blocking.
 
     Returns the same :class:`~probly_search_tpu.index.device.PendingBatch`
-    handle as the BM25 engine (the packed [rows, 2, k] result format is
-    shared), so z2o serving gets the columnar drain (``get_arrays``) and
-    window pipelining for free.  Cap-exceeding / shared-node-over-budget
-    queries degrade to the vectorized host lockstep.
+    handle as the BM25 engine (the packed result formats are shared), so
+    z2o serving gets the columnar drain (``get_arrays``) and window
+    pipelining for free.  Cap-exceeding / shared-node-over-budget queries
+    degrade to the vectorized host lockstep.
+
+    ``fmt`` overrides ``IndexConfig.result_format`` for this batch
+    ("f32" | "compact" | "slots"); rankings are computed on device in f32
+    identically in every mode (only the score REPORT narrows).
     """
     from ..index import device as _dev_mod
     from ..index.device import PendingBatch, _bucket, _bucket_vec, _segment_arange
@@ -689,6 +798,10 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
 
     B = len(queries)
     k = top_k or dix.config.default_top_k
+    if fmt is None:
+        fmt = dix.config.result_format
+    if fmt == "slots" and dix.num_slots >= (1 << 23):
+        fmt = "compact"  # 3-byte slots cannot address >= 2^23 slots
     host_rows = {}
     with metrics.timer("z2o/plan"):
         jquery, words, qlen, nchunks, njobs, fallback, shared = plan_batch_z2o(
@@ -813,7 +926,9 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None):
             class_specs=tuple(class_specs),
             fused_ok=dix.num_slots < (1 << 26),
             fused_mode=_dev_mod._FUSED_MODE,
+            fmt=fmt,
         )
     return PendingBatch(
-        dix, B, [], packed=packed, layout=layout, host_rows=host_rows, k=k
+        dix, B, [], packed=packed, layout=layout, host_rows=host_rows,
+        fmt=fmt, k=k,
     )

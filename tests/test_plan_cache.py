@@ -94,3 +94,69 @@ class TestPlanCache:
         finally:
             type(dix)._QPLAN_MAX_QUERIES = type(dix)._QPLAN_MAX_QUERIES_SAVED
             del type(dix)._QPLAN_MAX_QUERIES_SAVED
+
+
+class TestZ2oPlanCache:
+    """z2o per-query plan cache (r5 session 4: plan was 66 ms of an
+    8192-query window): pooled plans must be byte-identical to cold ones,
+    including shared-node flags and cap fallbacks."""
+
+    def _plan(self, dix, queries):
+        from probly_search_tpu.ops.z2o_device import plan_batch_z2o
+
+        return plan_batch_z2o(dix, queries, whitespace_tokenizer)
+
+    def test_replan_is_identical(self):
+        ix, vocab = _index()
+        dix = ix.device_index()
+        queries = [vocab[0], f"{vocab[1]} {vocab[2]}", "a", "", vocab[0]]
+        r1 = self._plan(dix, queries)
+        r2 = self._plan(dix, queries)
+        for a, b in zip(r1, r2):
+            if a is None or isinstance(a, list):
+                assert a == b
+            else:
+                assert (a == b).all()
+
+    def test_mixed_hit_miss_matches_cold(self):
+        ix, vocab = _index()
+        dix1 = ix.device_index()
+        qb = [vocab[6], vocab[3], f"{vocab[7]} {vocab[8]} {vocab[8]}"]
+        self._plan(dix1, [vocab[3], f"{vocab[4]} {vocab[5]}"])  # warm subset
+        mixed = self._plan(dix1, qb)
+        ix2, _ = _index()
+        cold = self._plan(ix2.device_index(), qb)
+        for a, b in zip(mixed, cold):
+            if a is None or isinstance(a, list):
+                assert a == b
+            else:
+                assert (a == b).all()
+
+    def test_shared_flag_cached(self):
+        ix, vocab = _index()
+        dix = ix.device_index()
+        dup = f"{vocab[0]} {vocab[0]}"  # duplicate term -> shared node
+        for _ in range(2):
+            res = self._plan(dix, [dup, vocab[1]])
+            shared = res[6]
+            assert shared is not None and shared[0] and not shared[1]
+
+    def test_fallback_flag_cached(self):
+        ix, vocab = _index()
+        dix = ix.device_index()
+        big = " ".join(vocab[i % len(vocab)] for i in range(40))
+        for _ in range(2):
+            res = self._plan(dix, [big, vocab[0]])
+            assert res[5] == [0]
+
+    def test_end_to_end_repeat_queries(self):
+        from probly_search_tpu import zero_to_one
+
+        ix, vocab = _index()
+        queries = [vocab[0], f"{vocab[1]} {vocab[2]}", "ab", f"{vocab[0]} {vocab[0]}"]
+        r1 = ix.query_batch(queries, zero_to_one.new(), top_k=10, backend="device")
+        r2 = ix.query_batch(queries, zero_to_one.new(), top_k=10, backend="device")
+        for a_row, b_row in zip(r1, r2):
+            assert [(r.key, r.score) for r in a_row] == [
+                (r.key, r.score) for r in b_row
+            ]

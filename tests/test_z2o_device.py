@@ -170,3 +170,41 @@ def test_wide_schema_routes_to_host_lockstep():
         assert len(row) == len(oracle)
         for a, b in zip(row, oracle):
             assert a.key == b.key and a.score == pytest.approx(b.score, abs=1e-12)
+
+
+def test_result_formats_match_f32_ranking():
+    # compact/slots narrow only the score REPORT: the packed top-k is
+    # computed in f32 before any narrowing, so slots/keys must be
+    # IDENTICAL to the f32 window's, and compact scores f16-close.
+    from probly_search_tpu.ops.z2o_device import z2o_query_batch_async
+
+    rng = random.Random(5)
+    vocab = ["".join(rng.choice("abcdef") for _ in range(rng.randint(1, 4))) for _ in range(60)]
+    n = 300
+    ix = Index(2)
+    ix.add_documents_columnar(
+        list(range(n)),
+        [
+            [" ".join(rng.choice(vocab) for _ in range(3)) for _ in range(n)],
+            [" ".join(rng.choice(vocab) for _ in range(6)) for _ in range(n)],
+        ],
+    )
+    dix = ix.device_index()
+    queries = [vocab[0], f"{vocab[1]} {vocab[2]}", "a", f"{vocab[3]} {vocab[3]}", ""]
+    s_f32, sl_f32, k_f32 = z2o_query_batch_async(
+        dix, queries, tokenizer, 10, fmt="f32"
+    ).get_arrays()
+    s_c, sl_c, k_c = z2o_query_batch_async(
+        dix, queries, tokenizer, 10, fmt="compact"
+    ).get_arrays()
+    s_s, sl_s, k_s = z2o_query_batch_async(
+        dix, queries, tokenizer, 10, fmt="slots"
+    ).get_arrays()
+    assert (sl_c == sl_f32).all() and (sl_s == sl_f32).all()
+    assert s_s is None
+    valid = sl_f32 >= 0
+    np.testing.assert_allclose(s_c[valid], s_f32[valid], rtol=2e-3, atol=1e-4)
+    assert (np.asarray(k_c)[valid] == np.asarray(k_f32)[valid]).all()
+    assert (np.asarray(k_s)[valid] == np.asarray(k_f32)[valid]).all()
+    # And the f32 ranking itself matches the exact oracle.
+    _assert_matches_oracle(ix, [q for q in queries if q.strip()])

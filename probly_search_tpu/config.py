@@ -90,6 +90,14 @@ class IndexConfig:
     # Top-k depth stored per cached heavy query (requests with larger k
     # bypass the cache).
     heavy_cache_top_k: int = 128
+    # Split each shape class's query rows into greedy power-of-two
+    # sub-dispatches (2048+512+pad(78) instead of one pow2 pad to 4096)
+    # inside the same fused window program.  Device compute is ~linear in
+    # rows x lanes, and pow2 padding of partially-filled classes wasted
+    # ~10% of the bench window's device work (r5 host analysis: padded
+    # chunk-eff 0.66 -> 0.73).  Sub-dispatch shapes stay inside the same
+    # pow2 ladder, so no new kernel shapes — only new window compositions.
+    pow2_row_split: bool = True
     # Fuse all shape classes of a query window into one jitted dispatch with
     # one packed input buffer and one packed result fetch (single device
     # round trip + single transfer pair per window).  Compiles once per

@@ -1080,6 +1080,32 @@ class DeviceIndex:
             has_range=has_range,
         ), fallback
 
+    @staticmethod
+    def _pow2_spans(n: int, cap: int, min_pad: int = 8, min_take: int = 512):
+        """Split ``n`` class rows into (take, padded_rows) spans.
+
+        Greedy largest-power-of-two slices (bounded by the class's lane-cap
+        ``cap``) while at least ``min_take`` rows remain, then one padded
+        tail — 2048+512+pad(78->128) instead of one pow2 pad to 4096.
+        Every span's padded_rows is a power of two from the same ladder the
+        old single-slice packing produced, so no new kernel shapes appear;
+        device compute drops by the pad rows saved (~10% of the bench
+        window, r5 host analysis).
+        """
+        cap2 = 1 << (max(cap, 1).bit_length() - 1)  # largest pow2 <= cap
+        spans = []
+        rem = n
+        while rem > 0:
+            big = min(1 << (rem.bit_length() - 1), cap2)
+            if big >= min_take and big < rem:
+                spans.append((big, big))
+                rem -= big
+            else:
+                take = min(rem, cap2)
+                spans.append((take, max(min_pad, 1 << (take - 1).bit_length())))
+                rem -= take
+        return spans
+
     def pack_dispatches(self, n_queries: int, plan: PlannedJobs):
         """Bucket queries into shape classes and pack dispatch job tables.
 
@@ -1121,10 +1147,20 @@ class DeviceIndex:
             min_pad = 1 if (rng or nc * C > (1 << 21)) else 8
             if rng:
                 b_cap = min(b_cap, 2)
-            for s in range(0, len(members), b_cap):
-                idxs = members[s : s + b_cap]
-                B = len(idxs)
-                B_pad = max(min_pad, 1 << (B - 1).bit_length())
+            if rng or not getattr(self.config, "pow2_row_split", True):
+                spans = [
+                    (m, max(min_pad, 1 << (m - 1).bit_length()))
+                    for m in (
+                        len(members[s : s + b_cap])
+                        for s in range(0, len(members), b_cap)
+                    )
+                ]
+            else:
+                spans = self._pow2_spans(len(members), b_cap, min_pad)
+            s = 0
+            for B, B_pad in spans:
+                idxs = members[s : s + B]
+                s += B
                 jobs_flat = np.zeros((B_pad, nj, 3), dtype=np.int32)
                 qnj = plan.njobs[idxs]
                 rows = np.repeat(np.arange(B, dtype=np.int64), qnj)
@@ -1402,7 +1438,12 @@ class PendingBatch:
         int32[rows, k]).  Compact windows decode f16 score bits and the
         lo/hi slot halves; slots windows decode the three slot bytes and
         carry NO scores (IndexConfig.result_format)."""
-        packed = np.asarray(self._packed)
+        from ..utils.metrics import metrics
+
+        # Timed apart from the decode: the D2H fetch is tunnel-bound while
+        # the decode is host CPU — the split tells which one binds drain.
+        with metrics.timer("query/fetch"):
+            packed = np.asarray(self._packed)
         if self._fmt == "compact":
             scores = packed[:, 0, :].view(np.float16).astype(np.float32)
             lo = packed[:, 1, :].view(np.uint16).astype(np.uint32)

@@ -799,7 +799,7 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None, fmt=None)
     B = len(queries)
     k = top_k or dix.config.default_top_k
     if fmt is None:
-        fmt = dix.config.result_format
+        fmt = dix.config.effective_result_format()
     if fmt == "slots" and dix.num_slots >= (1 << 23):
         fmt = "compact"  # 3-byte slots cannot address >= 2^23 slots
     host_rows = {}
@@ -889,10 +889,20 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None, fmt=None)
             nj = _bucket(int(njobs[members].max()), dix.NJ_BUCKETS, 4)
             lane_f = 1 if fast_mode else F  # fast lanes carry no field dim
             b_cap = max(8, int(dix.LANES_PER_DISPATCH // (nc * C * lane_f)))
-            for s in range(0, len(members), b_cap):
-                idxs = members[s : s + b_cap]
-                Bc = len(idxs)
-                B_pad = max(8, 1 << (Bc - 1).bit_length())
+            if getattr(dix.config, "pow2_row_split", True):
+                spans = dix._pow2_spans(len(members), b_cap)
+            else:
+                spans = [
+                    (m, max(8, 1 << (m - 1).bit_length()))
+                    for m in (
+                        len(members[s : s + b_cap])
+                        for s in range(0, len(members), b_cap)
+                    )
+                ]
+            s = 0
+            for Bc, B_pad in spans:
+                idxs = members[s : s + Bc]
+                s += Bc
                 b_out = min(B_pad, -(-Bc // 256) * 256)
                 jobs_flat = np.zeros((B_pad, nj, 4), dtype=np.int32)
                 sel = np.isin(jquery, idxs)

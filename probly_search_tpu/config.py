@@ -71,6 +71,11 @@ class IndexConfig:
     #             score REPORT is dropped, so `get_arrays` returns
     #             scores=None and `.get()` (which builds QueryResult
     #             objects) is unavailable.  Requires doc slots < 2^23.
+    #   "slots20" int8[rows, 2k+ceil(k/2)] — 20-bit nibble-packed slots
+    #             (25 B at k=10, the entropy floor for top-10 of 1M docs);
+    #             same slots-only contract.  Requires doc slots < 2^20;
+    #             windows that do not fit auto-downgrade to "slots" /
+    #             "compact" (index/device.py resolve_result_format).
     # The fetch is the serving pace-setter on tunneled devices
     # (PERFORMANCE.md): fewer drained bytes per query = higher QPS.
     result_format: str = ""

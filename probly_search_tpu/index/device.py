@@ -353,28 +353,59 @@ def _window_step_impl(
         if kk < k:
             s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
             d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=-1)
-        if fmt == "compact":
-            # int16[rows, 3, k]: f16 score bits + slot lo/hi — 25% fewer
-            # fetched bytes (ranking already fixed in f32 by top_k above).
-            s16 = jax.lax.bitcast_convert_type(s.astype(jnp.float16), jnp.int16)
-            lo = (d & 0xFFFF).astype(jnp.int16)
-            hi = ((d >> 16) & 0xFFFF).astype(jnp.int16)
-            outs.append(jnp.stack([s16, lo, hi], axis=1))
-        elif fmt == "slots":
-            # int8[rows, 3, k]: slot bytes only (lo, mid, hi), no scores —
-            # 3 B per result vs 8 (f32) / 6 (compact).  Ranking is fixed in
-            # f32 by top_k above; the sentinel slot -1 survives as three
-            # 0xFF bytes (sign-extended on decode).  The drain fetch is the
-            # serving pace-setter (PERFORMANCE.md), so bytes = QPS.
-            lo = (d & 0xFF).astype(jnp.int8)
-            mid = ((d >> 8) & 0xFF).astype(jnp.int8)
-            hi = ((d >> 16) & 0xFF).astype(jnp.int8)
-            outs.append(jnp.stack([lo, mid, hi], axis=1))
-        else:
-            outs.append(
-                jnp.stack([jax.lax.bitcast_convert_type(s, jnp.int32), d], axis=1)
-            )
-    return jnp.concatenate(outs, axis=0)  # [sum(b_out), 2|3, k]
+        outs.append(pack_result_rows(s, d, fmt))
+    return jnp.concatenate(outs, axis=0)  # [sum(b_out), ...]
+
+
+def pack_result_rows(s, d, fmt: str):
+    """Pack one class's top-k rows into the window's D2H result format.
+
+    The drain fetch is the serving pace-setter on tunneled devices
+    (PERFORMANCE.md), so bytes = QPS.  Rankings are always fixed on device
+    in f32 by top_k before packing; the formats only change what crosses
+    the tunnel.  Shared by the BM25 and zero-to-one window composers.
+
+      "f32"     int32[rows, 2, k] — f32 score bits + int32 slots (8 B/res)
+      "compact" int16[rows, 3, k] — f16 score bits + slot lo/hi (6 B/res);
+                only the REPORTED scores are f16-quantized
+      "slots"   int8[rows, 3, k]  — slot bytes only, NO scores (3 B/res);
+                the sentinel slot -1 survives as three 0xFF bytes
+      "slots20" int8[rows, 2k+ceil(k/2)] — 20-bit nibble-packed slots
+                (2.5 B/res), the entropy floor for top-10 of 1M docs;
+                requires doc slots < 2^20.  Layout per row: k lo bytes,
+                k mid bytes, ceil(k/2) packed hi nibbles (even entry in
+                the low nibble).  Sentinel -1 packs to 0xFFFFF.
+    """
+    if fmt == "compact":
+        s16 = jax.lax.bitcast_convert_type(s.astype(jnp.float16), jnp.int16)
+        lo = (d & 0xFFFF).astype(jnp.int16)
+        hi = ((d >> 16) & 0xFFFF).astype(jnp.int16)
+        return jnp.stack([s16, lo, hi], axis=1)
+    if fmt == "slots":
+        lo = (d & 0xFF).astype(jnp.int8)
+        mid = ((d >> 8) & 0xFF).astype(jnp.int8)
+        hi = ((d >> 16) & 0xFF).astype(jnp.int8)
+        return jnp.stack([lo, mid, hi], axis=1)
+    if fmt == "slots20":
+        lo = (d & 0xFF).astype(jnp.int8)
+        mid = ((d >> 8) & 0xFF).astype(jnp.int8)
+        hi = (d >> 16) & 0xF  # sentinel -1 -> 0xF (arithmetic shift)
+        if hi.shape[1] % 2:
+            hi = jnp.pad(hi, ((0, 0), (0, 1)), constant_values=0xF)
+        hp = (hi[:, 0::2] | (hi[:, 1::2] << 4)).astype(jnp.int8)
+        return jnp.concatenate([lo, mid, hp], axis=1)
+    return jnp.stack([jax.lax.bitcast_convert_type(s, jnp.int32), d], axis=1)
+
+
+def resolve_result_format(fmt: str, num_slots: int) -> str:
+    """Downgrade a requested result format to one that can address every
+    doc slot: slots20 needs < 2^20 slots, slots < 2^23; beyond that the
+    window falls back to compact (which carries full int32 slots)."""
+    if fmt == "slots20" and num_slots >= (1 << 20):
+        fmt = "slots"
+    if fmt in ("slots", "slots20") and num_slots >= (1 << 23):
+        return "compact"
+    return fmt
 
 
 _STEP_CACHE: Dict[Any, Any] = {}
@@ -1231,9 +1262,9 @@ class DeviceIndex:
                     )
                     for qi in fallback
                 }
-        fmt = self.config.effective_result_format()
-        if fmt == "slots" and self.num_slots >= (1 << 23):
-            fmt = "compact"  # 3-byte slots cannot address >= 2^23 slots
+        fmt = resolve_result_format(
+            self.config.effective_result_format(), self.num_slots
+        )
 
         # Heavy-query result cache (IndexConfig.heavy_cache_min_chunks):
         # queries whose plan spans a huge posting range (full-index prefix
@@ -1259,7 +1290,9 @@ class DeviceIndex:
                     rows_q = plan.words[plan.jquery == qi]
                     ck = (skey, rows_q.tobytes(), boosts_key)
                     hit = self._heavy_cache.get(ck)
-                    if hit is None or (hit[0] is None and fmt != "slots"):
+                    if hit is None or (
+                        hit[0] is None and not fmt.startswith("slots")
+                    ):
                         metrics.inc("heavy_cache_misses", 1)
                         sub = self.query_batch_async(
                             [queries[qi]], scorer, tokenizer, fields_boost,
@@ -1455,6 +1488,19 @@ class PendingBatch:
             hi = packed[:, 2, :].astype(np.int32)  # sign-extends bit 23
             slots = lo | (mid << 8) | (hi << 16)
             scores = None
+        elif self._fmt == "slots20":
+            k = self._k
+            lo = packed[:, :k].astype(np.int32) & 0xFF
+            mid = packed[:, k : 2 * k].astype(np.int32) & 0xFF
+            hp = packed[:, 2 * k :].astype(np.int32) & 0xFF
+            hi = np.empty((packed.shape[0], 2 * hp.shape[1]), np.int32)
+            hi[:, 0::2] = hp & 0xF
+            hi[:, 1::2] = hp >> 4
+            slots = lo | (mid << 8) | (hi[:, :k] << 16)
+            # 0xFFFFF is reserved as the -1 sentinel (the format is gated
+            # to num_slots < 2^20, so no live slot can collide with it).
+            slots = np.where(slots == 0xFFFFF, -1, slots).astype(np.int32)
+            scores = None
         else:
             scores = packed[:, 0, :].view(np.float32)
             slots = packed[:, 1, :]
@@ -1463,11 +1509,11 @@ class PendingBatch:
     def get(self) -> List[List[QueryResult]]:
         from ..utils.metrics import metrics
 
-        if self._fmt == "slots" and (
+        if self._fmt.startswith("slots") and (
             self._packed is not None or self._array_rows
         ):
             raise ValueError(
-                "result_format='slots' windows carry no scores; use "
+                "result_format='slots'/'slots20' windows carry no scores; use "
                 "get_arrays() (ranked slots/keys) or a score-carrying "
                 "result_format for QueryResult rows"
             )
@@ -1496,7 +1542,7 @@ class PendingBatch:
         from ..utils.metrics import metrics
 
         with metrics.timer("query/drain"):
-            slots_only = self._fmt == "slots"
+            slots_only = self._fmt.startswith("slots")
             if self._packed is None:
                 k = self._parts[0][1].shape[-1] if self._parts else (self._k or 0)
                 scores = (

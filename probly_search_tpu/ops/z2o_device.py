@@ -692,14 +692,16 @@ def _z2o_window_step_impl(
     D2H fetch instead of one per class (the per-class sync path measured
     ~1.3 ms/query of pure round-trip cost on the tunnel).
 
-    ``fmt`` composes the packed result exactly like the BM25 window
-    (index/device.py `_window_step_impl`): "f32" int32[rows, 2, k],
-    "compact" int16[rows, 3, k] (f16 score bits + slot halves), "slots"
-    int8[rows, 3, k] (slot bytes only).  Ranking is fixed in f32 by top_k
-    before any narrowing; the drain fetch is the z2o serving pace-setter
-    at 8192-query windows (80 ms of the 114 ms window, r5 session 4).
+    ``fmt`` composes the packed result exactly like the BM25 window via
+    the shared :func:`~probly_search_tpu.index.device.pack_result_rows`
+    ("f32" / "compact" / "slots" / "slots20").  Ranking is fixed in f32 by
+    top_k before any narrowing; the drain fetch is the z2o serving
+    pace-setter at 8192-query windows (80 ms of the 114 ms window, r5
+    session 4).
     """
     import jax.numpy as jnp
+
+    from ..index.device import pack_result_rows
 
     outs = []
     off = 0
@@ -738,20 +740,7 @@ def _z2o_window_step_impl(
         if kk < k:
             s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
             d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=-1)
-        if fmt == "compact":
-            s16 = jax.lax.bitcast_convert_type(s.astype(jnp.float16), jnp.int16)
-            lo = (d & 0xFFFF).astype(jnp.int16)
-            hi = ((d >> 16) & 0xFFFF).astype(jnp.int16)
-            outs.append(jnp.stack([s16, lo, hi], axis=1))
-        elif fmt == "slots":
-            lo = (d & 0xFF).astype(jnp.int8)
-            mid = ((d >> 8) & 0xFF).astype(jnp.int8)
-            hi = ((d >> 16) & 0xFF).astype(jnp.int8)
-            outs.append(jnp.stack([lo, mid, hi], axis=1))
-        else:
-            outs.append(
-                jnp.stack([jax.lax.bitcast_convert_type(s, jnp.int32), d], axis=1)
-            )
+        outs.append(pack_result_rows(s, d, fmt))
     return jnp.concatenate(outs, axis=0)
 
 
@@ -788,7 +777,7 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None, fmt=None)
     degrade to the vectorized host lockstep.
 
     ``fmt`` overrides ``IndexConfig.result_format`` for this batch
-    ("f32" | "compact" | "slots"); rankings are computed on device in f32
+    ("f32" | "compact" | "slots" | "slots20"); rankings are computed on device in f32
     identically in every mode (only the score REPORT narrows).
     """
     from ..index import device as _dev_mod
@@ -798,10 +787,11 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None, fmt=None)
 
     B = len(queries)
     k = top_k or dix.config.default_top_k
+    from ..index.device import resolve_result_format
+
     if fmt is None:
         fmt = dix.config.effective_result_format()
-    if fmt == "slots" and dix.num_slots >= (1 << 23):
-        fmt = "compact"  # 3-byte slots cannot address >= 2^23 slots
+    fmt = resolve_result_format(fmt, dix.num_slots)
     host_rows = {}
     with metrics.timer("z2o/plan"):
         jquery, words, qlen, nchunks, njobs, fallback, shared = plan_batch_z2o(

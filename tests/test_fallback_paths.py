@@ -267,6 +267,52 @@ class TestSlotsResults:
         with pytest.raises(ValueError, match="slots"):
             h.get()
 
+    def test_slots20_matches_slots_rankings(self):
+        # 20-bit nibble-packed slots (25 B/query at k=10): bit-identical
+        # ranked slots vs the 3-byte format, including the -1 sentinel
+        # (packed as 0xFFFFF) and an odd k (pad nibble path).
+        ix20, vocab = self._corpus(IndexConfig(result_format="slots20"))
+        ix_s, _ = self._corpus(IndexConfig(result_format="slots"))
+        queries = [vocab[0], f"{vocab[1]} {vocab[2]}", "a", "zzz", ""]
+        for k in (10, 5, 1):
+            h20 = ix20.device_index().query_batch_async(
+                queries, bm25.new(), top_k=k
+            )
+            hs = ix_s.device_index().query_batch_async(
+                queries, bm25.new(), top_k=k
+            )
+            s20, sl20, k20 = h20.get_arrays()
+            ss, sls, ks = hs.get_arrays()
+            assert s20 is None
+            np.testing.assert_array_equal(sl20, sls)
+            m = sl20 >= 0
+            assert (k20[m] == ks[m]).all()
+
+    def test_slots20_z2o_matches_slots(self):
+        from probly_search_tpu import zero_to_one
+        from probly_search_tpu.ops.z2o_device import z2o_query_batch_async
+
+        ix, vocab = self._corpus()
+        queries = [vocab[0], f"{vocab[1]} {vocab[2]}", "zzz"]
+        dix = ix.device_index()
+        h20 = z2o_query_batch_async(dix, queries, whitespace_tokenizer, 7, fmt="slots20")
+        hs = z2o_query_batch_async(dix, queries, whitespace_tokenizer, 7, fmt="slots")
+        s20, sl20, _ = h20.get_arrays()
+        _, sls, _ = hs.get_arrays()
+        assert s20 is None
+        np.testing.assert_array_equal(sl20, sls)
+
+    def test_resolve_result_format_gates(self):
+        from probly_search_tpu.index.device import resolve_result_format
+
+        assert resolve_result_format("slots20", (1 << 20) - 1) == "slots20"
+        assert resolve_result_format("slots20", 1 << 20) == "slots"
+        assert resolve_result_format("slots20", 1 << 23) == "compact"
+        assert resolve_result_format("slots", 1 << 23) == "compact"
+        assert resolve_result_format("slots", (1 << 23) - 1) == "slots"
+        assert resolve_result_format("f32", 1 << 24) == "f32"
+        assert resolve_result_format("compact", 1 << 24) == "compact"
+
     def test_slots_host_fallback_rows_are_valid(self):
         # An over-cap query (> max_query_terms) falls back to the host; its
         # row must keep the ``slots >= 0`` validity contract.

@@ -72,14 +72,16 @@ def main():
 
     from probly_search_tpu import IndexConfig
 
-    # Serving mode: slots-only int8 result format — 30 B fetched per query
-    # vs 60 (compact int16) / 80 (f32).  The drain fetch is the serving
-    # pace-setter (PERFORMANCE.md: ~30-40 ms fixed + ~65 us/KB through the
-    # tunnel), so drained bytes set the QPS ceiling.  Parity policy:
-    # rankings are computed on device in f32 identically in every mode;
-    # slots mode drops only the score REPORT (the recall check below uses
-    # ranked keys).  The parity suites and the default API keep f32.
-    ix = Index(1, config=IndexConfig(result_format="slots"))
+    # Serving mode: slots20 nibble-packed result format — 25 B fetched per
+    # query (the entropy floor for top-10 of 1M docs) vs 30 (slots) / 60
+    # (compact) / 80 (f32).  The drain fetch is the serving pace-setter
+    # (PERFORMANCE.md: ~30-40 ms fixed + ~65 us/KB through the tunnel), so
+    # drained bytes set the QPS ceiling; slots20 won its interleaved A/B
+    # 167.2k vs 155.1k (r5 session 7).  Parity policy: rankings are
+    # computed on device in f32 identically in every mode; slots modes drop
+    # only the score REPORT (the recall check below uses ranked keys).  The
+    # parity suites and the default API keep f32.
+    ix = Index(1, config=IndexConfig(result_format="slots20"))
     ix.add_documents_columnar(list(range(n_docs)), [texts])
     t2 = time.time()
     log(f"bulk index build: {t2 - t1:.1f}s ({n_docs / (t2 - t1):.0f} docs/s)")
@@ -199,9 +201,9 @@ def main():
                 "p99_window_ms": round(p99, 1),
                 "recall_at_10": round(recall, 4),
                 "window_size": window,
-                "result_format": "slots_int8",
+                "result_format": "slots20",
                 "qps_sections": [round(s, 1) for s in sections],
-                "drained_bytes_per_query": 3 * top_k,
+                "drained_bytes_per_query": 2 * top_k + (top_k + 1) // 2,
                 "plan_ms_mean": phase_ms("query/plan"),
                 "pack_ms_mean": phase_ms("query/pack"),
                 "drain_ms_mean": phase_ms("query/drain"),

@@ -245,8 +245,18 @@ class Index:
         # deferring the ACCESSOR call would observe later mutations), but
         # tokenize/count/pack lazily — the flush runs the native bulk
         # pipeline over the whole buffer.
+        # A bare ``str`` return is ONE field value, not a char sequence
+        # (lib.rs:11 is Vec<&str>; Python's str-is-Sequence[str] would
+        # silently index single characters) — same rule as bulk.py cells.
         self._pending.append(
-            (key, [list(a(doc)) for a in field_accessors], tokenizer)
+            (
+                key,
+                [
+                    [v] if isinstance(v := a(doc), str) else list(v)
+                    for a in field_accessors
+                ],
+                tokenizer,
+            )
         )
         self._pending_keys.add(key)
         self._version += 1

@@ -191,3 +191,22 @@ def test_non_power_of_two_chunk_falls_back_to_sort_merge():
         assert [g.key for g in got] == [w.key for w in want], (q, got, want)
         for g, w in zip(got, want):
             assert abs(g.score - w.score) <= 2e-5 * max(1.0, abs(w.score))
+
+
+def test_bare_str_accessor_is_one_value():
+    """A field accessor returning a bare str indexes it as ONE value, not a
+    char sequence (lib.rs:11 is Vec<&str>; Python's str-is-Sequence[str]
+    would otherwise silently index single characters).  Must match the
+    list-returning accessor exactly on both the buffered and bulk paths."""
+    ix_str = Index(1)
+    ix_list = Index(1)
+    texts = ["pancake recipe", "paneer curry", "flat bread"]
+    for i, t in enumerate(texts):
+        ix_str.add_document([lambda d: d], tokenizer, i, t)
+        ix_list.add_document([lambda d: [d]], tokenizer, i, t)
+    for q in ["pan", "pancake", "bread", "a"]:
+        a = ix_str.query(q, bm25.new(), tokenizer, [1.0])
+        b = ix_list.query(q, bm25.new(), tokenizer, [1.0])
+        assert [(r.key, r.score) for r in a] == [(r.key, r.score) for r in b], q
+    assert ix_str.query("pancake", bm25.new(), tokenizer, [1.0])[0].key == 0
+    assert ix_str.query("a", bm25.new(), tokenizer, [1.0]) == []

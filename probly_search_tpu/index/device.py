@@ -195,7 +195,6 @@ def _query_step_impl(
         not use_ranges
         and _FUSED_MODE != "off"
         and (L & (L - 1)) == 0
-        and L <= _FUSED_MAX_LANES
         and (_FUSED_MODE == "interpret" or jax.default_backend() != "cpu")
     ):
         from ..ops.pallas_query import fused_query_topk
@@ -203,7 +202,31 @@ def _query_step_impl(
 
         metrics.inc("fused_kernel_traces", 1)  # trace-time (host) counter
         scalars = jnp.concatenate([field_avg, fields_boost])[None, :]
-        return fused_query_topk(
+        if L <= _FUSED_MAX_LANES:
+            return fused_query_topk(
+                scorer,
+                rec,
+                c_start,
+                c_skip,
+                c_len,
+                c_qterm,
+                c_scale,
+                scalars,
+                chunk=C,
+                k=k,
+                qterm_bits=qterm_bits,
+                num_fields=F,
+                interpret=(_FUSED_MODE == "interpret"),
+            )
+        # Wide classes (L past the Mosaic comparator-network compile wall):
+        # the kernel still does the gather + scoring — replacing XLA's
+        # SEQUENTIAL slice-gather while loop (measured ~1.4 us per (query,
+        # chunk), session 9) — and writes [B, L] scored lanes; the merge
+        # runs as staged XLA (lax.sort + segmented scans).
+        from ..ops.merge import merge_scores_topk_presorted
+
+        excl = bool(getattr(scorer, "device_excludes_nonpositive", False))
+        score_l, key_l = fused_query_topk(
             scorer,
             rec,
             c_start,
@@ -217,7 +240,9 @@ def _query_step_impl(
             qterm_bits=qterm_bits,
             num_fields=F,
             interpret=(_FUSED_MODE == "interpret"),
+            phase="lanes",
         )
+        return merge_scores_topk_presorted(key_l, score_l, k, qterm_bits, C, excl)
 
     # --- contiguous slice-gather [B, NC, R, C] -------------------------- #
     R = rec.shape[0]

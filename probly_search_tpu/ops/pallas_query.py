@@ -46,6 +46,7 @@ def _query_kernel(
     qterm_bits: int,
     F: int,
     NC: int,
+    phase: str,
     # refs:
     c_start_ref,  # SMEM [1, ROWS, NC] int32 — 128-aligned DMA starts
     c_skip_ref,  # VMEM [1, ROWS, NC] int32 — payload begins at this lane
@@ -54,8 +55,8 @@ def _query_kernel(
     c_scale_ref,  # VMEM [1, ROWS, NC] f32 — per-job scale (host before_each)
     scal_ref,  # VMEM [1, 2F] f32: field_avg[F], fields_boost[F]
     rec_ref,  # HBM [R, P + C] int32
-    out_s_ref,  # VMEM [1, ROWS, k] f32
-    out_d_ref,  # VMEM [1, ROWS, k] int32
+    out_s_ref,  # VMEM [1, ROWS, k] f32 (phase "lanes": [1, ROWS, L])
+    out_d_ref,  # VMEM [1, ROWS, k] int32 (phase "lanes": [1, ROWS, L])
     g_ref,  # scratch VMEM [ROWS, NC, R, C] int32
     ks,  # scratch VMEM [ROWS, L] int32 (merge keys)
     vs,  # scratch VMEM [ROWS, L] f32 (merge values)
@@ -91,6 +92,11 @@ def _query_kernel(
                 ).wait()
 
     g = g_ref[:, :, :, :]  # [ROWS, NC, R, C]
+    if phase == "gather":
+        # Phase probe: DMA gather only; a reduce of g defeats DCE.
+        out_s_ref[0, ...] = jnp.sum(g.astype(jnp.float32), axis=(1, 2))[:, :k]
+        out_d_ref[0, ...] = jnp.max(g[:, :, 0, :], axis=1)[:, :k]
+        return
     doc = g[:, :, 0, :]  # [ROWS, NC, C] — true doc slot, even for dead docs
     tf = g[:, :, 1 : 1 + F, :].astype(jnp.float32)  # [ROWS, NC, F, C]
     flen = pltpu.bitcast(g[:, :, 1 + F : 1 + 2 * F, :], jnp.float32)
@@ -139,7 +145,45 @@ def _query_kernel(
         jnp.where(cpos < c_skip[..., None], -1, INVALID_KEY),
     )
 
+    if phase == "score":
+        # Phase probe: gather + score + key build, no merge.
+        out_s_ref[0, ...] = jnp.max(score, axis=1)[:, :k]
+        out_d_ref[0, ...] = jnp.max(key, axis=1)[:, :k]
+        return
+    if phase == "lanes":
+        # Scored lanes to HBM: the merge runs as staged XLA outside the
+        # kernel (wide classes past _FUSED_MAX_LANES — the comparator
+        # network compiles pathologically there, but the gather + scoring
+        # still beat XLA's sequential slice-gather loop by ~10x).
+        out_d_ref[0, ...] = key.reshape(ROWS, L)
+        out_s_ref[0, ...] = score.reshape(ROWS, L)
+        return
+
     # ---- merge + top-k (VMEM-resident, in-place pipeline) --------------- #
+    if phase in ("sort", "scan"):
+        pos = jax.lax.broadcasted_iota(jnp.int32, (ROWS, L), 1)
+        ks[...] = key.reshape(ROWS, L)
+        vs[...] = score.reshape(ROWS, L)
+        from .pallas_merge import (
+            _oddeven_merge_runs_inplace,
+            _segmented_scan_inplace,
+            _shift_left,
+            _shift_right,
+        )
+
+        _oddeven_merge_runs_inplace(ks, vs, pos, C)
+        if phase == "scan":
+            kk = ks[...]
+            hs[...] = (kk != _shift_right(kk, pos, 1, -1)).astype(jnp.int32)
+            _segmented_scan_inplace(jnp.maximum, vs, hs, pos, _NEG_INF)
+            tail1 = kk != _shift_left(kk, pos, 1, -1)
+            vs[...] = jnp.where(tail1, vs[...], 0.0)
+            dd = kk >> qterm_bits
+            hs[...] = (dd != _shift_right(dd, pos, 1, -1)).astype(jnp.int32)
+            _segmented_scan_inplace(jnp.add, vs, hs, pos, 0.0)
+        out_s_ref[0, ...] = vs[...][:, :k]
+        out_d_ref[0, ...] = ks[...][:, :k]
+        return
     merge_body(
         k,
         qterm_bits,
@@ -171,22 +215,33 @@ def fused_query_topk(
     num_fields: int,
     rows_per_block: int = 8,
     interpret: bool = False,
+    phase: str = "full",
 ):
     """Run the fused kernel over a dispatch.
 
     Args mirror the XLA step's chunk tables; ``scalars`` is f32[1, 2F]
     = (field_avg, fields_boost); ``rec`` is the transposed posting record
     array int32[R, P + C].
+
+    ``phase`` selects how much of the pipeline runs: "full" (default),
+    "lanes" (gather + score, write [B, L] key/score lanes to HBM — the
+    wide-class path and the staged-merge front end), or the profiling
+    cuts "gather" / "score" / "sort" / "scan" (benchmarks/r5_session10.py).
     """
     B, NC = c_start.shape
     R0 = rec.shape[0]
     from .pallas_merge import pick_rows_per_block
 
     # In-place merge pipeline: ~60B/lane live (three scratch arrays + one
-    # stage's temporaries) plus the gather scratch.
+    # stage's temporaries) plus the gather scratch.  The lanes phase adds
+    # two [rows, L] output blocks.
     rows = min(
         rows_per_block,
-        pick_rows_per_block(B, NC * chunk, bytes_per_lane=60 + 4 * R0),
+        pick_rows_per_block(
+            B,
+            NC * chunk,
+            bytes_per_lane=(60 if phase != "lanes" else 68) + 4 * R0,
+        ),
     )
     rows = min(rows, B)
     while B % rows:
@@ -204,10 +259,13 @@ def fused_query_topk(
         return a.reshape(G, rows, NC)
 
     kernel = functools.partial(
-        _query_kernel, scorer, C, k, qterm_bits, num_fields, NC
+        _query_kernel, scorer, C, k, qterm_bits, num_fields, NC, phase
     )
     row_block = lambda i: (i, 0, 0)
     table = lambda space: pl.BlockSpec((1, rows, NC), row_block, memory_space=space)
+    ow = NC * C if phase == "lanes" else k
+    # The merge scratch is dead in the pre-merge phases; keep it minimal.
+    sl = NC * C if phase in ("full", "sort", "scan") else 128
     out_s, out_d = pl.pallas_call(
         kernel,
         grid=grid,
@@ -221,20 +279,20 @@ def fused_query_topk(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, rows, k), row_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, k), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, ow), row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, ow), row_block, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, rows, k), jnp.float32),
-            jax.ShapeDtypeStruct((G, rows, k), jnp.int32),
+            jax.ShapeDtypeStruct((G, rows, ow), jnp.float32),
+            jax.ShapeDtypeStruct((G, rows, ow), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, NC, R, C), jnp.int32),
-            pltpu.VMEM((rows, NC * C), jnp.int32),
-            pltpu.VMEM((rows, NC * C), jnp.float32),
-            pltpu.VMEM((rows, NC * C), jnp.int32),
+            pltpu.VMEM((rows, sl), jnp.int32),
+            pltpu.VMEM((rows, sl), jnp.float32),
+            pltpu.VMEM((rows, sl), jnp.int32),
             pltpu.SemaphoreType.DMA((rows, NC)),
         ],
         interpret=interpret,
     )(r3(c_start), r3(c_skip), r3(c_len), r3(c_qterm), r3(c_scale), scalars, rec)
-    return out_s.reshape(B, k), out_d.reshape(B, k)
+    return out_s.reshape(B, ow), out_d.reshape(B, ow)

@@ -47,6 +47,22 @@ def test_fused_matches_oracle(fused_interpret):
                 np.testing.assert_allclose(r.score, o[r.key], rtol=2e-5, atol=1e-6)
 
 
+def test_wide_class_lanes_path(fused_interpret, monkeypatch):
+    """Classes past _FUSED_MAX_LANES take the lanes kernel (Pallas gather +
+    score to HBM) + staged XLA merge — force every multi-chunk class onto
+    that path and check oracle parity."""
+    monkeypatch.setattr(dev, "_FUSED_MAX_LANES", 1024)
+    dev._STEP_CACHE.clear()
+    ix, queries = _corpus(n=200, seed=7)
+    rows = ix.query_batch(queries, bm25.new(), top_k=8, backend="device")
+    for q, row in zip(queries, rows):
+        oracle = ix.query(q, bm25.new(), tokenizer, [1.0])[:8]
+        assert [r.key for r in row] == [r.key for r in oracle], q
+        for a, b in zip(row, oracle):
+            np.testing.assert_allclose(a.score, b.score, rtol=2e-5, atol=1e-6)
+    dev._STEP_CACHE.clear()
+
+
 def test_fused_multifield_deletes(fused_interpret):
     from .util import text_extract
 

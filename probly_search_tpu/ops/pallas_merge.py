@@ -175,10 +175,19 @@ def _bitonic_sort_inplace(key_ref, val_ref, pos):
         size *= 2
 
 
-def _segmented_scan_inplace(op, val_ref, head_ref, pos, identity):
+def _segmented_scan_inplace(op, val_ref, head_ref, pos, identity, bound: int = 0):
+    """Inclusive segmented scan through scratch refs.
+
+    ``bound > 0`` declares every REAL segment is at most ``bound`` lanes
+    long, cutting the Hillis-Steele ladder from log2(L) to ceil(log2(bound))
+    steps.  Longer segments (the -1 / INVALID_KEY pad runs) get partial
+    prefixes — safe because head flags still stop propagation INTO live
+    segments and pad tails are masked off downstream.
+    """
     L = pos.shape[-1]
     d = 1
-    while d < L:
+    stop = bound if 0 < bound < L else L
+    while d < stop:
         vals = val_ref[...]
         heads = head_ref[...]
         sv = _shift_right(vals, pos, d, identity)
@@ -200,6 +209,7 @@ def merge_body(
     hs,
     run: int = 0,
     excl: bool = False,
+    max_seg: int = 0,
 ):
     """Shared merge pipeline over scratch refs ks (i32), vs (f32), hs (i32).
 
@@ -217,6 +227,13 @@ def merge_body(
     (bm25.rs:89-92) POST-merge: per-posting nonpositive scores must already
     be clamped to 0 by the caller, and docs whose total is not > 0 are
     dropped here.
+
+    ``max_seg > 0`` bounds every real (doc, qterm) / doc run to that many
+    lanes.  A doc appears at most once per gathered chunk (chunks slice a
+    doc-sorted posting list), so callers with NC chunks per query pass
+    NC — cutting each segmented scan from log2(L) to log2(NC) steps
+    (measured: the two scans were ~1.5 ms of the 10.6 ms NC=16 kernel at
+    the full log2(L) ladder, benchmarks/r5_session10.py).
     """
     rows, L = ks.shape
     pos = _lane_iota(rows, L)
@@ -232,14 +249,14 @@ def merge_body(
 
     # Stage 1: max over runs of equal (doc, qterm) key.
     hs[...] = (key != _shift_right(key, pos, 1, -1)).astype(jnp.int32)
-    _segmented_scan_inplace(jnp.maximum, vs, hs, pos, _NEG_INF)
+    _segmented_scan_inplace(jnp.maximum, vs, hs, pos, _NEG_INF, bound=max_seg)
     tail1 = key != _shift_left(key, pos, 1, -1)
     vs[...] = jnp.where(tail1, vs[...], 0.0)
 
     # Stage 2: sum per-term maxima over runs of equal doc.
     doc = key >> qterm_bits
     hs[...] = (doc != _shift_right(doc, pos, 1, -1)).astype(jnp.int32)
-    _segmented_scan_inplace(jnp.add, vs, hs, pos, 0.0)
+    _segmented_scan_inplace(jnp.add, vs, hs, pos, 0.0, bound=max_seg)
     tail2 = doc != _shift_left(doc, pos, 1, -1)
     live = (key != INVALID_KEY) & (key >= 0)
     keep = tail2 & live
@@ -248,20 +265,23 @@ def merge_body(
     vs[...] = jnp.where(keep, vs[...], _NEG_INF)
 
     # Iterative top-k (k small); accumulate [rows, k] and store once.
+    # Two cross-lane reductions per step (max score, min doc among ties):
+    # the row is key-sorted so each doc has exactly ONE tail lane, and
+    # equal-score ties resolve to the lowest doc — identical to picking the
+    # lowest lane (docs ascend), which is the host oracle's tie order.
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
     acc_s = jnp.full((rows, k), _NEG_INF, jnp.float32)
     acc_d = jnp.full((rows, k), -1, jnp.int32)
+    imax = jnp.iinfo(jnp.int32).max
     for i in range(k):
         vals = vs[...]
         m = jnp.max(vals, axis=1, keepdims=True)  # [rows, 1]
         ismax = vals == m
-        idx = jnp.min(jnp.where(ismax, pos, L), axis=1, keepdims=True)
-        sel = pos == idx
-        d_sel = jnp.max(jnp.where(sel, doc, -1), axis=1, keepdims=True)
+        d_sel = jnp.min(jnp.where(ismax, doc, imax), axis=1, keepdims=True)
         valid = m > _NEG_INF
         acc_s = jnp.where((col == i) & valid, m, acc_s)
         acc_d = jnp.where((col == i) & valid, d_sel, acc_d)
-        vs[...] = jnp.where(sel, _NEG_INF, vals)
+        vs[...] = jnp.where(ismax & (doc == d_sel), _NEG_INF, vals)
     out_s[...] = acc_s
     out_d[...] = acc_d
 
@@ -271,6 +291,7 @@ def _merge_kernel(
     qterm_bits: int,
     run: int,
     excl: bool,
+    max_seg: int,
     key_ref,
     score_ref,
     out_s_ref,
@@ -293,6 +314,7 @@ def _merge_kernel(
         hs,
         run=run,
         excl=excl,
+        max_seg=max_seg,
     )
 
 
@@ -319,10 +341,12 @@ def merge_scores_topk_pallas(
     interpret: bool = False,
     run: int = 0,
     excl: bool = False,
+    max_seg: int = 0,
 ):
     """Drop-in replacement for ops.merge.merge_scores_topk on TPU.
 
-    ``run``/``excl`` select the pre-sorted-runs scheme (see merge_body).
+    ``run``/``excl``/``max_seg`` select the pre-sorted-runs scheme and the
+    bounded-scan ladder (see merge_body).
     """
     B, L = key.shape
     rows = rows_per_block or pick_rows_per_block(B, L)
@@ -332,7 +356,7 @@ def merge_scores_topk_pallas(
     rows = max(rows, 1)
     G = B // rows
     grid = (G,)
-    kernel = functools.partial(_merge_kernel, k, qterm_bits, run, excl)
+    kernel = functools.partial(_merge_kernel, k, qterm_bits, run, excl, max_seg)
     out_s, out_d = pl.pallas_call(
         kernel,
         grid=grid,

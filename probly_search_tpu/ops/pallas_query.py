@@ -175,12 +175,12 @@ def _query_kernel(
         if phase == "scan":
             kk = ks[...]
             hs[...] = (kk != _shift_right(kk, pos, 1, -1)).astype(jnp.int32)
-            _segmented_scan_inplace(jnp.maximum, vs, hs, pos, _NEG_INF)
+            _segmented_scan_inplace(jnp.maximum, vs, hs, pos, _NEG_INF, bound=NC)
             tail1 = kk != _shift_left(kk, pos, 1, -1)
             vs[...] = jnp.where(tail1, vs[...], 0.0)
             dd = kk >> qterm_bits
             hs[...] = (dd != _shift_right(dd, pos, 1, -1)).astype(jnp.int32)
-            _segmented_scan_inplace(jnp.add, vs, hs, pos, 0.0)
+            _segmented_scan_inplace(jnp.add, vs, hs, pos, 0.0, bound=NC)
         out_s_ref[0, ...] = vs[...][:, :k]
         out_d_ref[0, ...] = ks[...][:, :k]
         return
@@ -196,6 +196,9 @@ def _query_kernel(
         hs,
         run=C,
         excl=excl,
+        # A doc appears at most once per gathered chunk, so every real
+        # (doc, qterm) / doc run is <= NC lanes: log2(NC) scan steps.
+        max_seg=NC,
     )
 
 

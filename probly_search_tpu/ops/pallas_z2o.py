@@ -130,10 +130,14 @@ def _shift_left(x, pos, d: int, fill):
     return jnp.where(pos >= L - d, fill, _roll(x, L - d))
 
 
-def _segscan_inplace(op, val_ref, head_ref, pos, identity):
+def _segscan_inplace(op, val_ref, head_ref, pos, identity, bound: int = 0):
+    """Inclusive segmented scan; ``bound > 0`` caps real-segment length,
+    cutting the ladder to ceil(log2(bound)) steps (pad runs may get partial
+    prefixes — masked off downstream; see pallas_merge)."""
     L = pos.shape[-1]
     d = 1
-    while d < L:
+    stop = bound if 0 < bound < L else L
+    while d < stop:
         vals = val_ref[...]
         heads = head_ref[...]
         sv = _shift_right(vals, pos, d, identity)
@@ -259,16 +263,19 @@ def _z2o_kernel(
         return jnp.where(left >= 0.0, left, cur)
 
     doc_best = jnp.full((ROWS, L), _NEG_INF, jnp.float32)
+    # A doc appears at most once per gathered chunk, so every real
+    # (doc, alive, qterm) / doc run is <= NC lanes: log2(NC) scan steps
+    # instead of log2(L) (2F scans — the biggest ladder in this kernel).
     for f in range(F):
         ref = val_refs[f]
         # first valid contribution per (doc, qterm) group
         hs[...] = head1
-        _segscan_inplace(first_valid, ref, hs, pos, -1.0)
+        _segscan_inplace(first_valid, ref, hs, pos, -1.0, bound=NC)
         first = ref[...]
         ref[...] = jnp.where(tail1 & (first >= 0.0), first, 0.0)
         # pool sum per doc
         hs[...] = head_d
-        _segscan_inplace(jnp.add, ref, hs, pos, 0.0)
+        _segscan_inplace(jnp.add, ref, hs, pos, 0.0, bound=NC)
         doc_best = jnp.maximum(doc_best, ref[...])
 
     # Latently-dead docs are excluded by their key bit (zero_to_one is a
@@ -279,6 +286,9 @@ def _z2o_kernel(
     ps[...] = final
 
     # ---- iterative top-k ------------------------------------------------ #
+    # Two cross-lane reductions per step (max score, min doc among ties):
+    # docs ascend along the sorted row, so min doc == min lane — the
+    # oracle's tie order (see pallas_merge.merge_body).
     col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, k), 1)
     acc_s = jnp.full((ROWS, k), _NEG_INF, jnp.float32)
     acc_d = jnp.full((ROWS, k), -1, jnp.int32)
@@ -286,13 +296,11 @@ def _z2o_kernel(
         vals = ps[...]
         m = jnp.max(vals, axis=1, keepdims=True)
         ismax = vals == m
-        idx = jnp.min(jnp.where(ismax, pos, L), axis=1, keepdims=True)
-        sel = pos == idx
-        d_sel = jnp.max(jnp.where(sel, dock, -1), axis=1, keepdims=True)
+        d_sel = jnp.min(jnp.where(ismax, dock, _I32_MAX), axis=1, keepdims=True)
         ok = m > _NEG_INF
         acc_s = jnp.where((col == i) & ok, m, acc_s)
         acc_d = jnp.where((col == i) & ok, d_sel, acc_d)
-        ps[...] = jnp.where(sel, _NEG_INF, vals)
+        ps[...] = jnp.where(ismax & (dock == d_sel), _NEG_INF, vals)
     out_s_ref[...] = acc_s[None]
     out_d_ref[...] = acc_d[None]
 

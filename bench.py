@@ -174,6 +174,26 @@ def main():
     sync_window_ms = sorted(sync_ms)[1]
     log(f"sync window (no pipeline): {sync_window_ms:.0f}ms {sync_ms}")
 
+    # Device pace (weather-invariant): queue N windows, one sync —
+    # executions serialize on the device (PERFORMANCE.md r5 session 8), so
+    # the marginal window cost is pure device compute, independent of the
+    # tunnel's RTT/throughput weather.
+    def queue_n(n):
+        # One sync at the end (fetch the LAST window only): executions run
+        # in submission order, so the final fetch waits for all n.
+        t_s = time.perf_counter()
+        hs = [
+            dix.query_batch_async(windows[i % len(windows)], scorer, top_k=top_k)
+            for i in range(n)
+        ]
+        np.asarray(hs[-1]._packed)
+        return 1e3 * (time.perf_counter() - t_s)
+
+    t1w = min(queue_n(1) for _ in range(2))
+    t8w = min(queue_n(8) for _ in range(2))
+    device_ms_per_window = (t8w - t1w) / 7.0
+    log(f"device pace: {device_ms_per_window:.1f} ms/window (T1 {t1w:.0f}, T8 {t8w:.0f})")
+
     # Recall vs the exact f64 oracle on a 256-query sample (ranked keys
     # from the slots-only drain — the same surface the timed loop serves).
     sample = queries[:256]
@@ -207,7 +227,9 @@ def main():
                 "plan_ms_mean": phase_ms("query/plan"),
                 "pack_ms_mean": phase_ms("query/pack"),
                 "drain_ms_mean": phase_ms("query/drain"),
+                "fetch_ms_mean": phase_ms("query/fetch"),
                 "sync_window_ms": round(sync_window_ms, 1),
+                "device_ms_per_window": round(device_ms_per_window, 1),
             }
         )
     )

@@ -19,7 +19,10 @@ sort width.  Consequences:
   thousands of queries per dispatch to amortize the round trip.
 
 Device step per dispatch:
-  unpack jobs -> chunk expansion (cumsum + searchsorted)
+  unpack jobs -> chunk expansion (cumsum + broadcast compare-sum; chunks
+                    are contiguous stride-C slices off one 128-aligned
+                    base per job, so only a job's first chunk pays the
+                    < 128-lane alignment skip)
   slice-gather [B, NC, C, R] posting records
   scorer.device_score_lanes — fused scoring (vectorized
                     ScoreCalculator::score, calculator.rs:58-66).  df and
@@ -155,26 +158,36 @@ def _query_step_impl(
     jscale = jax.lax.bitcast_convert_type(jobs[..., 2], jnp.float32)
 
     # --- on-device chunk expansion (all [B, NC]-small) ------------------ #
-    # Each chunk's DMA start must be 128-aligned (Mosaic lane tiling), so a
-    # chunk carries CP = C - 128 payload postings at a 128-aligned slice
-    # start plus a per-chunk skip < 128.
-    CP = C - 128
-    njc = (jlen + (CP - 1)) // CP  # [B, NJ] chunks per job
+    # Chunks of a job are CONTIGUOUS stride-C slices off the job's single
+    # 128-aligned base: only the first chunk pays the (< 128-lane)
+    # alignment skip, so every other chunk carries a full C payload
+    # postings (the older per-chunk alignment scheme paid the 128-lane
+    # skip on EVERY chunk, i.e. 1/8 of all gathered lanes at C = 1024).
+    # Chunk boundaries inside a job are clean posting continuations, and
+    # each C-lane chunk is still one ascending run (the merge contract).
+    base = (jstart // 128) * 128  # [B, NJ] per-job aligned DMA base
+    skip0 = jstart - base  # < 128
+    njc = jnp.where(jlen > 0, (skip0 + jlen + (C - 1)) // C, 0)  # [B, NJ]
     cum = jnp.cumsum(njc, axis=1)
     chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (B, NC), dimension=1)
-    chunk_job = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
-        cum, chunk_ids
-    ).astype(jnp.int32)
+    # searchsorted(cum, id, right) == count of cum entries <= id.  NJ <= NC
+    # <= 32, so a [B, NC, NJ] broadcast compare-sum stays a single VPU
+    # fusion where the vmapped searchsorted lowered to sequential while
+    # loops (the "prologue whiles" in the session-9 device trace).
+    chunk_job = jnp.sum(
+        (cum[:, None, :] <= chunk_ids[:, :, None]).astype(jnp.int32), axis=-1
+    )
     jc = jnp.minimum(chunk_job, NJ - 1)
 
     def take(a):
         return jnp.take_along_axis(a, jc, axis=1)
 
     within = chunk_ids - (take(cum) - take(njc))  # chunk index within job
-    raw = take(jstart) + within * CP  # [B, NC] true posting offset
-    c_start = (raw // 128) * 128  # aligned DMA start
-    c_skip = raw - c_start  # payload begins at this lane
-    c_len = jnp.clip(take(jlen) - within * CP, 0, CP)
+    c_start = take(base) + within * C  # [B, NC] aligned DMA start
+    off = within * C  # job-lane offset of this chunk
+    c_skip = jnp.clip(take(skip0) - off, 0, C)  # payload begins here
+    c_end = jnp.clip(take(skip0) + take(jlen) - off, 0, C)
+    c_len = jnp.maximum(c_end - c_skip, 0)
     c_valid = chunk_ids < cum[:, -1:]
     c_len = jnp.where(c_valid, c_len, 0)
     c_start = jnp.where(c_valid, c_start, 0)
@@ -916,8 +929,12 @@ class DeviceIndex:
         else:
             nj_per_term = np.zeros(M, dtype=np.int64)
 
-        CP = self.CHUNK - 128  # payload postings per chunk (aligned DMA)
-        job_chunks = (jlen + CP - 1) // CP
+        # Chunks per job under the stride-C contiguous scheme: one aligned
+        # base per job, skip < 128 on the first chunk only (must match
+        # _query_step_impl's on-device expansion exactly — class bucketing
+        # and output-row layout depend on it).
+        C_ = self.CHUNK
+        job_chunks = np.where(jlen > 0, (jstart % 128 + jlen + C_ - 1) // C_, 0)
         term_chunks = np.bincount(
             jidx, weights=job_chunks.astype(np.float64), minlength=M
         ).astype(np.int64) if len(jidx) else np.zeros(M, dtype=np.int64)
@@ -1490,6 +1507,10 @@ class PendingBatch:
         # Submitted top_k: sizes the result arrays when every query fell
         # back to the host (no packed result to take k from).
         self._k = k
+        # Host copy of ``packed`` planted by fetch_windows_jointly — lets
+        # several windows share one D2H round trip (the tunnel RTT is the
+        # drain's fixed cost; see that function).
+        self._packed_host: Optional[np.ndarray] = None
 
     def _unpack(self):
         """Single D2H fetch + decode -> (scores f32[rows, k] | None, slots
@@ -1500,8 +1521,11 @@ class PendingBatch:
 
         # Timed apart from the decode: the D2H fetch is tunnel-bound while
         # the decode is host CPU — the split tells which one binds drain.
-        with metrics.timer("query/fetch"):
-            packed = np.asarray(self._packed)
+        if self._packed_host is not None:
+            packed = self._packed_host
+        else:
+            with metrics.timer("query/fetch"):
+                packed = np.asarray(self._packed)
         if self._fmt == "compact":
             scores = packed[:, 0, :].view(np.float16).astype(np.float32)
             lo = packed[:, 1, :].view(np.uint16).astype(np.uint32)
@@ -1653,3 +1677,43 @@ class PendingBatch:
             )
             for i, row in zip(idxs, rows):
                 results[int(i)] = row
+
+
+_JOINT_CONCAT = jax.jit(lambda *xs: jnp.concatenate(xs))
+
+
+def fetch_windows_jointly(batches: Sequence["PendingBatch"]) -> None:
+    """Drain several windows' packed results in ONE device->host round trip.
+
+    The tunnel's fixed sync+fetch cost (~30-60 ms RTT, PERFORMANCE.md)
+    dominates each window's drain once the payload is small (slots20 is
+    ~415 KB per 16384-query window); fetching N windows per round trip
+    amortizes it N-fold at the price of one extra window of drain latency.
+    A tiny device-side concat program (one copy pass over the packed
+    buffers, enqueued after the windows it reads) makes the group a single
+    buffer so the runtime issues a single transfer — two separate fetches
+    pay two RTTs even when issued back to back (r5 session 8: concurrent
+    D2H fetches serialize).
+
+    Each batch's host copy is planted on the handle; its later
+    ``get_arrays()`` / ``get()`` decodes from host memory with no device
+    read.  Batches with no packed window (host-only) or with mismatched
+    dtypes (different result formats) are left to fetch individually.
+    """
+    from ..utils.metrics import metrics
+
+    live = [
+        b
+        for b in batches
+        if b._packed is not None and b._packed_host is None
+    ]
+    if len(live) < 2 or len({b._packed.dtype for b in live}) != 1:
+        return
+    flats = [b._packed.reshape(-1) for b in live]
+    with metrics.timer("query/fetch"):
+        host = np.asarray(_JOINT_CONCAT(*flats))
+    off = 0
+    for b, f in zip(live, flats):
+        n = int(f.shape[0])
+        b._packed_host = host[off : off + n].reshape(b._packed.shape)
+        off += n

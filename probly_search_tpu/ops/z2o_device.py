@@ -97,23 +97,31 @@ def z2o_step(
     jscore = jax.lax.bitcast_convert_type(jobs[..., 3], jnp.float32)
 
     # --- chunk expansion + gather (as in index/device.py) ---------------- #
-    CP = C - 128
-    njc = (jlen + (CP - 1)) // CP
+    # Stride-C contiguous chunks off one aligned per-job base (matches
+    # index/device.py's expansion: only the first chunk pays the < 128-lane
+    # alignment skip; every other chunk carries a full C payload).
+    base = (jstart // 128) * 128
+    skip0 = jstart - base
+    njc = jnp.where(jlen > 0, (skip0 + jlen + (C - 1)) // C, 0)
     cum = jnp.cumsum(njc, axis=1)
     chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (B, NC), dimension=1)
-    chunk_job = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
-        cum, chunk_ids
-    ).astype(jnp.int32)
+    # Broadcast compare-sum == searchsorted(cum, id, right); NJ <= NC <= 32
+    # so this stays one VPU fusion instead of sequential while loops (see
+    # index/device.py chunk expansion).
+    chunk_job = jnp.sum(
+        (cum[:, None, :] <= chunk_ids[:, :, None]).astype(jnp.int32), axis=-1
+    )
     jc = jnp.minimum(chunk_job, NJ - 1)
 
     def take(a):
         return jnp.take_along_axis(a, jc, axis=1)
 
     within = chunk_ids - (take(cum) - take(njc))
-    raw = take(jstart) + within * CP
-    c_start = (raw // 128) * 128
-    c_skip = raw - c_start
-    c_len = jnp.clip(take(jlen) - within * CP, 0, CP)
+    c_start = take(base) + within * C
+    off = within * C
+    c_skip = jnp.clip(take(skip0) - off, 0, C)
+    c_end = jnp.clip(take(skip0) + take(jlen) - off, 0, C)
+    c_len = jnp.maximum(c_end - c_skip, 0)
     c_valid = chunk_ids < cum[:, -1:]
     c_len = jnp.where(c_valid, c_len, 0)
     c_start = jnp.where(c_valid, c_start, 0)
@@ -283,23 +291,31 @@ def z2o_fast_step(
     jscore = jax.lax.bitcast_convert_type(jobs[..., 3], jnp.float32)
 
     # --- chunk expansion + gather (as in z2o_step) ------------------------ #
-    CP = C - 128
-    njc = (jlen + (CP - 1)) // CP
+    # Stride-C contiguous chunks off one aligned per-job base (matches
+    # index/device.py's expansion: only the first chunk pays the < 128-lane
+    # alignment skip; every other chunk carries a full C payload).
+    base = (jstart // 128) * 128
+    skip0 = jstart - base
+    njc = jnp.where(jlen > 0, (skip0 + jlen + (C - 1)) // C, 0)
     cum = jnp.cumsum(njc, axis=1)
     chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (B, NC), dimension=1)
-    chunk_job = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
-        cum, chunk_ids
-    ).astype(jnp.int32)
+    # Broadcast compare-sum == searchsorted(cum, id, right); NJ <= NC <= 32
+    # so this stays one VPU fusion instead of sequential while loops (see
+    # index/device.py chunk expansion).
+    chunk_job = jnp.sum(
+        (cum[:, None, :] <= chunk_ids[:, :, None]).astype(jnp.int32), axis=-1
+    )
     jc = jnp.minimum(chunk_job, NJ - 1)
 
     def take(a):
         return jnp.take_along_axis(a, jc, axis=1)
 
     within = chunk_ids - (take(cum) - take(njc))
-    raw = take(jstart) + within * CP
-    c_start = (raw // 128) * 128
-    c_skip = raw - c_start
-    c_len = jnp.clip(take(jlen) - within * CP, 0, CP)
+    c_start = take(base) + within * C
+    off = within * C
+    c_skip = jnp.clip(take(skip0) - off, 0, C)
+    c_end = jnp.clip(take(skip0) + take(jlen) - off, 0, C)
+    c_len = jnp.maximum(c_end - c_skip, 0)
     c_valid = chunk_ids < cum[:, -1:]
     c_len = jnp.where(c_valid, c_len, 0)
     c_start = jnp.where(c_valid, c_start, 0)
@@ -670,8 +686,9 @@ def _plan_batch_z2o_impl(dix, queries, tokenizer):
     shared = np.zeros(B, dtype=bool)
     shared[jquery[o3][1:][samegrp & diffq]] = True
 
-    CP = dix.CHUNK - 128
-    job_chunks = (jlen + CP - 1) // CP
+    # Stride-C contiguous chunks (must match the on-device expansion).
+    C_ = dix.CHUNK
+    job_chunks = np.where(jlen > 0, (jstart % 128 + jlen + C_ - 1) // C_, 0)
     nchunks = np.bincount(jquery, weights=job_chunks.astype(np.float64), minlength=B)
     njobs = np.bincount(jquery, minlength=B)
     return jquery, words, qlen, nchunks.astype(np.int64), njobs, fallback, shared

@@ -336,8 +336,12 @@ class ShardedDeviceIndex:
             words = words[:, order]
             lens_all = lens_all[:, order]
         max_chunks = np.zeros(B, dtype=np.int64)
-        CP = C - 128
-        chunks_all = (lens_all + CP - 1) // CP  # [n, NJOBS]
+        # Stride-C contiguous chunks (must match the on-device expansion);
+        # starts live in words[..., 0] (already range-reordered with lens).
+        starts_mod = words[:, :, 0].astype(np.int64) % 128
+        chunks_all = np.where(
+            lens_all > 0, (starts_mod + lens_all + C - 1) // C, 0
+        )  # [n, NJOBS]
         for s in range(n):
             nch = np.bincount(
                 jquery, weights=chunks_all[s].astype(np.float64), minlength=B
@@ -499,8 +503,11 @@ class ShardedDeviceIndex:
         srank[o] = grp - qfirst
         words[:, :, 2] = srank[None, :]
 
-        CP = C - 128
-        chunks_all = (lens_all + CP - 1) // CP
+        # Stride-C contiguous chunks (must match the on-device expansion).
+        starts_mod = words[:, :, 0].astype(np.int64) % 128
+        chunks_all = np.where(
+            lens_all > 0, (starts_mod + lens_all + C - 1) // C, 0
+        )
         max_chunks = np.zeros(B, dtype=np.int64)
         for s in range(n):
             nch = np.bincount(
@@ -565,8 +572,11 @@ class ShardedDeviceIndex:
         words[:, :, 2] = node[None, :]
         words[:, :, 3] = score.view(np.int32)[None, :]
 
-        CP = C - 128
-        chunks_all = (lens_all + CP - 1) // CP
+        # Stride-C contiguous chunks (must match the on-device expansion).
+        starts_mod = words[:, :, 0].astype(np.int64) % 128
+        chunks_all = np.where(
+            lens_all > 0, (starts_mod + lens_all + C - 1) // C, 0
+        )
         max_chunks = np.zeros(B, dtype=np.int64)
         for s in range(n):
             nch = np.bincount(

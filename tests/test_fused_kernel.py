@@ -83,3 +83,44 @@ def test_fused_multifield_deletes(fused_interpret):
         assert [r.key for r in row] == [r.key for r in oracle], q
         for a, b in zip(row, oracle):
             np.testing.assert_allclose(a.score, b.score, rtol=2e-5, atol=1e-6)
+
+
+def test_fetch_windows_jointly_parity():
+    """Joint (one-round-trip) drain of several windows decodes bit-identical
+    results to individual fetches, across result formats."""
+    from probly_search_tpu import IndexConfig
+    from probly_search_tpu.index.device import fetch_windows_jointly
+
+    for fmt in ("f32", "slots20"):
+        import random
+
+        rng = random.Random(11)
+        vocab = [
+            "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 4)))
+            for _ in range(60)
+        ]
+        ix = Index(1, config=IndexConfig(result_format=fmt))
+        for i in range(150):
+            ix.add_document(
+                [title_extract], tokenizer, i,
+                Doc(id=i, title=" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))),
+            )
+        qs = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3))) for _ in range(12)]
+        dix = ix.device_index()
+        w1, w2 = qs[:6], qs[6:]
+        # individual drains
+        a1 = dix.query_batch_async(w1, bm25.new(), top_k=5).get_arrays()
+        a2 = dix.query_batch_async(w2, bm25.new(), top_k=5).get_arrays()
+        # joint drain
+        h1 = dix.query_batch_async(w1, bm25.new(), top_k=5)
+        h2 = dix.query_batch_async(w2, bm25.new(), top_k=5)
+        fetch_windows_jointly([h1, h2])
+        assert h1._packed_host is not None and h2._packed_host is not None
+        b1, b2 = h1.get_arrays(), h2.get_arrays()
+        for (sa, la, ka), (sb, lb, kb) in ((a1, b1), (a2, b2)):
+            np.testing.assert_array_equal(la, lb)
+            np.testing.assert_array_equal(ka, kb)
+            if sa is None:
+                assert sb is None
+            else:
+                np.testing.assert_array_equal(sa, sb)

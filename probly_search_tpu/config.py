@@ -95,6 +95,13 @@ class IndexConfig:
     # Top-k depth stored per cached heavy query (requests with larger k
     # bypass the cache).
     heavy_cache_top_k: int = 128
+    # Fine (non-pow2) chunk-count buckets for the fused shape classes:
+    # adds NC in {2, 3, 6, 12, 24} to the pow2 ladder, so e.g. the dominant
+    # 3-single-chunk-term query class stops padding 33% of its gather,
+    # merge network, and top-k work up to NC=4.  The odd-even merge runs on
+    # a virtual pow2 lane space with a phantom +inf tail — exact, same
+    # comparator network restricted to the real lanes (ops/pallas_merge).
+    fine_nc_buckets: bool = True
     # Split each shape class's query rows into greedy power-of-two
     # sub-dispatches (2048+512+pad(78) instead of one pow2 pad to 4096)
     # inside the same fused window program.  Device compute is ~linear in

@@ -207,7 +207,8 @@ def _query_step_impl(
     if (
         not use_ranges
         and _FUSED_MODE != "off"
-        and (L & (L - 1)) == 0
+        and (C & (C - 1)) == 0
+        and L % 128 == 0
         and (_FUSED_MODE == "interpret" or jax.default_backend() != "cpu")
     ):
         from ..ops.pallas_query import fused_query_topk
@@ -558,6 +559,16 @@ class DeviceIndex:
         4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048,
         3072, 4096, 6144, 8192, 12288, 16384,
     )
+    # Fine buckets (IndexConfig.fine_nc_buckets, default on): non-pow2 lane
+    # classes for the fused kernel — the odd-even merge network runs on a
+    # virtual pow2 lane space with a phantom +inf tail (ops/pallas_merge),
+    # so NC need only make L a multiple of 128.  The dominant bench class
+    # (3 single-chunk terms) drops from NC=4 to NC=3: device compute is
+    # ~linear in lanes (PERFORMANCE.md r5 session 11).
+    NC_BUCKETS_FINE = (
+        2, 3, 4, 6, 8, 12, 16, 24, 32, 64, 128, 256, 512, 1024, 2048,
+        3072, 4096, 6144, 8192, 12288, 16384,
+    )
     NJ_BUCKETS = (4, 8, 16, 32, 64, 128, 256)
 
     def __init__(self, index) -> None:
@@ -566,6 +577,12 @@ class DeviceIndex:
         self._index = index
         self.config = index.config
         self.CHUNK = int(getattr(index.config, "chunk_size", 0) or type(self).CHUNK)
+        if getattr(index.config, "fine_nc_buckets", True):
+            self.nc_buckets = type(self).NC_BUCKETS_FINE
+            self.nc_min = 2
+        else:
+            self.nc_buckets = type(self).NC_BUCKETS
+            self.nc_min = 4
         F = index.num_fields
         self.num_fields = F
         self.segments = list(index._segments)
@@ -1188,7 +1205,7 @@ class DeviceIndex:
         the aux gather and the full-sort merge — see _query_step_impl).
         """
         C = self.CHUNK
-        nc_bucket = _bucket_vec(plan.nchunks, self.NC_BUCKETS, 4)
+        nc_bucket = _bucket_vec(plan.nchunks, self.nc_buckets, self.nc_min)
         # One pass: per-query class id + position within class (queries are
         # index-sorted within each class), then every job places itself by
         # direct lookup — no per-class isin/searchsorted.  The class id

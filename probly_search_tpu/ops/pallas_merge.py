@@ -47,6 +47,15 @@ def _compare_exchange(key, val, pos, j: int, k: int):
     each element selects the right one from its own (i & j) bit.  Elements
     that would wrap never select the wrapped branch, so circular rotation
     is safe.
+
+    Non-power-of-two L (only reachable through the merge ladder, never the
+    bitonic sort): the network runs on a VIRTUAL pow2 lane space whose tail
+    [L, Lv) holds phantom +inf keys.  A real low lane paired with a phantom
+    partner never swaps in an ascending merge (phantom >= every real key,
+    including the INVALID_KEY trailing pads, with strict comparators), so
+    suppressing those swaps — ``(pos | j) < L``; high lanes have pos|j ==
+    pos and pass — computes exactly the virtual network restricted to the
+    real lanes.
     """
     L = key.shape[-1]
     pk_l = pltpu.roll(key, L - j, 1)  # key[i + j]
@@ -63,6 +72,9 @@ def _compare_exchange(key, val, pos, j: int, k: int):
     # (Boolean logic, not where-on-bools: Mosaic rejects selects with i1
     # data operands.)
     pair_swap = (up & (key_low > key_high)) | (~up & (key_low < key_high))
+    if L & (L - 1):  # phantom-tail guard, static no-op at pow2 widths
+        assert k == 0, "bitonic (descending-block) stages require pow2 L"
+        pair_swap = pair_swap & ((pos | j) < L)
     new_key = jnp.where(pair_swap, pk, key)
     new_val = jnp.where(pair_swap, pv, val)
     return new_key, new_val
@@ -122,6 +134,8 @@ def _ce_selected(key, val, pos, q: int, group: int):
     pv_r = pltpu.roll(val, q, 1)
     ingrp = pos & (group - 1)
     is_low = ((pos & q) != 0) & (ingrp < group - q)
+    if L & (L - 1):  # virtual pow2 space: phantom (+inf) partners never swap
+        is_low = is_low & (pos + q < L)
     prev = pos - q
     is_high = (pos >= q) & ((prev & q) != 0) & ((prev & (group - 1)) < group - q)
     pk = jnp.where(is_low, pk_l, pk_r)

@@ -49,6 +49,7 @@ def _query_kernel(
     phase: str,
     # refs:
     c_start_ref,  # SMEM [1, ROWS, NC] int32 — 128-aligned DMA starts
+    c_live_ref,  # SMEM [1, ROWS, NC] int32 — chunk has payload (DMA guard)
     c_skip_ref,  # VMEM [1, ROWS, NC] int32 — payload begins at this lane
     c_len_ref,  # VMEM [1, ROWS, NC] int32
     c_qterm_ref,  # VMEM [1, ROWS, NC] int32
@@ -78,18 +79,30 @@ def _query_kernel(
                 rec_ref.at[:, pl.ds(0, C)], g_ref.at[r, 0], sem.at[r, 0]
             ).wait()
     else:
+        # Dead padding chunks (class pad rows / NC pad slots) skip their DMA
+        # entirely — the guard reads the scalar chunk-liveness table.  The
+        # scratch then holds a stale gather, but every downstream read is
+        # masked by in_pay (derived from c_skip/c_len, both 0 for dead
+        # chunks), so the garbage never reaches a key or an unmasked score.
         for r in range(ROWS):
             for c in range(NC):
-                s = pl.multiple_of(c_start_ref[0, r, c], 128)
-                pltpu.make_async_copy(
-                    rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
-                ).start()
+
+                @pl.when(c_live_ref[0, r, c] > 0)
+                def _start(r=r, c=c):
+                    s = pl.multiple_of(c_start_ref[0, r, c], 128)
+                    pltpu.make_async_copy(
+                        rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
+                    ).start()
+
         for r in range(ROWS):
             for c in range(NC):
-                s = pl.multiple_of(c_start_ref[0, r, c], 128)
-                pltpu.make_async_copy(
-                    rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
-                ).wait()
+
+                @pl.when(c_live_ref[0, r, c] > 0)
+                def _wait(r=r, c=c):
+                    s = pl.multiple_of(c_start_ref[0, r, c], 128)
+                    pltpu.make_async_copy(
+                        rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
+                    ).wait()
 
     g = g_ref[:, :, :, :]  # [ROWS, NC, R, C]
     if phase == "gather":
@@ -269,10 +282,12 @@ def fused_query_topk(
     ow = NC * C if phase == "lanes" else k
     # The merge scratch is dead in the pre-merge phases; keep it minimal.
     sl = NC * C if phase in ("full", "sort", "scan") else 128
+    c_live = (c_len > 0).astype(jnp.int32)  # scalar DMA guards (SMEM)
     out_s, out_d = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            table(pltpu.SMEM),
             table(pltpu.SMEM),
             table(pltpu.VMEM),
             table(pltpu.VMEM),
@@ -297,5 +312,14 @@ def fused_query_topk(
             pltpu.SemaphoreType.DMA((rows, NC)),
         ],
         interpret=interpret,
-    )(r3(c_start), r3(c_skip), r3(c_len), r3(c_qterm), r3(c_scale), scalars, rec)
+    )(
+        r3(c_start),
+        r3(c_live),
+        r3(c_skip),
+        r3(c_len),
+        r3(c_qterm),
+        r3(c_scale),
+        scalars,
+        rec,
+    )
     return out_s.reshape(B, ow), out_d.reshape(B, ow)

@@ -63,6 +63,44 @@ def test_wide_class_lanes_path(fused_interpret, monkeypatch):
     dev._STEP_CACHE.clear()
 
 
+def test_fused_fine_nc_classes(fused_interpret):
+    """Non-pow2 NC classes (fine buckets): a hot-term corpus with a small
+    chunk width lands queries in NC in {2, 3, 6, 12}; the fused kernel's
+    phantom-tail merge network must stay oracle-equal."""
+    import random
+
+    from probly_search_tpu import IndexConfig
+
+    rng = random.Random(13)
+    vocab = ["hot%d" % i for i in range(4)] + [
+        "".join(rng.choice("abcdef") for _ in range(3)) for _ in range(30)
+    ]
+    ix = Index(1, config=IndexConfig(chunk_size=128, fine_nc_buckets=True))
+    for i in range(700):
+        # hot terms appear in most docs -> multi-chunk posting lists at C=128
+        toks = [rng.choice(vocab[:4])] + [rng.choice(vocab) for _ in range(3)]
+        ix.add_document([title_extract], tokenizer, i, Doc(id=i, title=" ".join(toks)))
+    queries = [
+        "hot0",  # 1 job, several chunks
+        "hot0 hot1 hot2",  # 3 multi-chunk jobs
+        "hot0 %s %s" % (vocab[10], vocab[11]),  # mixed spans
+        "%s %s" % (vocab[12], vocab[13]),  # 2 single-chunk jobs -> NC=2
+    ]
+    dix = ix.device_index()
+    plan, fallback = dix.plan_batch(queries, tokenizer, bm25.new())
+    assert plan is not None and not fallback
+    ncs = sorted(
+        {nc for (_i, _j, nc, _nj, _r) in dix.pack_dispatches(len(queries), plan)}
+    )
+    assert any(nc not in (1, 2, 4, 8, 16) for nc in ncs), ncs  # fine classes hit
+    rows = ix.query_batch(queries, bm25.new(), top_k=10, backend="device")
+    for q, row in zip(queries, rows):
+        oracle = ix.query(q, bm25.new(), tokenizer, [1.0])[:10]
+        assert [r.key for r in row] == [r.key for r in oracle], q
+        for a, b in zip(row, oracle):
+            np.testing.assert_allclose(a.score, b.score, rtol=2e-5, atol=1e-6)
+
+
 def test_fused_multifield_deletes(fused_interpret):
     from .util import text_extract
 

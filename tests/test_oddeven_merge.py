@@ -66,7 +66,9 @@ def _make_rows(rng, rows, n_runs, run, excl):
 
 
 @pytest.mark.parametrize("excl", [False, True])
-@pytest.mark.parametrize("n_runs", [2, 4, 8])
+# Non-pow2 run counts (3, 6, 12) exercise the virtual-pow2 phantom-tail
+# network (fine NC buckets, ops/pallas_merge._compare_exchange guards).
+@pytest.mark.parametrize("n_runs", [2, 3, 4, 6, 8, 12])
 def test_presorted_runs_merge_matches_oracle(excl, n_runs):
     rng = np.random.default_rng(42 + n_runs)
     rows, run, k = 4, 128, 8

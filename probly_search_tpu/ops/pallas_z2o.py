@@ -57,7 +57,12 @@ def _roll(x, d):
 
 def _ce2(keys, vals, pos, j: int):
     """One all-ascending bitonic/merge stage at distance ``j`` (direction
-    bit 0): partner(i) = i ^ j, ordered by lexicographic (k1, k2)."""
+    bit 0): partner(i) = i ^ j, ordered by lexicographic (k1, k2).
+
+    Non-pow2 L: virtual pow2 lane space with a phantom lexicographic-max
+    tail — real-low lanes paired with phantom partners never swap (see
+    pallas_merge._compare_exchange; phantom = (I32_MAX, I32_MAX) dominates
+    every real (k1, k2) with strict comparators)."""
     k1, k2 = keys
     L = k1.shape[-1]
     is_low = (pos & j) == 0
@@ -69,6 +74,8 @@ def _ce2(keys, vals, pos, j: int):
     gt = (k1 > pk1) | ((k1 == pk1) & (k2 > pk2))
     lt = (k1 < pk1) | ((k1 == pk1) & (k2 < pk2))
     swap = (is_low & gt) | (~is_low & lt)
+    if L & (L - 1):  # phantom-tail guard, static no-op at pow2 widths
+        swap = swap & ((pos | j) < L)
     new_keys = (jnp.where(swap, pk1, k1), jnp.where(swap, pk2, k2))
     new_vals = tuple(jnp.where(swap, partner(v), v) for v in vals)
     return new_keys, new_vals
@@ -81,6 +88,8 @@ def _ce2_selected(keys, vals, pos, q: int, group: int):
     L = k1.shape[-1]
     ingrp = pos & (group - 1)
     is_low = ((pos & q) != 0) & (ingrp < group - q)
+    if L & (L - 1):  # virtual pow2 space: phantom partners never swap
+        is_low = is_low & (pos + q < L)
     prev = pos - q
     is_high = (pos >= q) & ((prev & q) != 0) & ((prev & (group - 1)) < group - q)
 
@@ -154,6 +163,7 @@ def _z2o_kernel(
     NC: int,
     # refs:
     c_start_ref,  # SMEM [1, ROWS, NC] int32 — 128-aligned DMA starts
+    c_live_ref,  # SMEM [1, ROWS, NC] int32 — chunk has payload (DMA guard)
     c_skip_ref,  # VMEM [1, ROWS, NC] int32
     c_len_ref,  # VMEM [1, ROWS, NC] int32
     c_qterm_ref,  # VMEM [1, ROWS, NC] int32
@@ -179,18 +189,27 @@ def _z2o_kernel(
     R = rec_ref.shape[0]
     L = NC * C
 
+    # Dead padding chunks skip their DMA (scalar guard; stale scratch reads
+    # are in_pay-masked downstream — see ops/pallas_query.py).
     for r in range(ROWS):
         for c in range(NC):
-            s = pl.multiple_of(c_start_ref[0, r, c], 128)
-            pltpu.make_async_copy(
-                rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
-            ).start()
+
+            @pl.when(c_live_ref[0, r, c] > 0)
+            def _start(r=r, c=c):
+                s = pl.multiple_of(c_start_ref[0, r, c], 128)
+                pltpu.make_async_copy(
+                    rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
+                ).start()
+
     for r in range(ROWS):
         for c in range(NC):
-            s = pl.multiple_of(c_start_ref[0, r, c], 128)
-            pltpu.make_async_copy(
-                rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
-            ).wait()
+
+            @pl.when(c_live_ref[0, r, c] > 0)
+            def _wait(r=r, c=c):
+                s = pl.multiple_of(c_start_ref[0, r, c], 128)
+                pltpu.make_async_copy(
+                    rec_ref.at[:, pl.ds(s, C)], g_ref.at[r, c], sem.at[r, c]
+                ).wait()
 
     g = g_ref[:, :, :, :]  # [ROWS, NC, R, C]
     doc = g[:, :, 0, :]  # [ROWS, NC, C]
@@ -352,10 +371,12 @@ def fused_z2o_topk(
     kernel = functools.partial(_z2o_kernel, C, k, F, NC)
     row_block = lambda i: (i, 0, 0)
     table = lambda space: pl.BlockSpec((1, rows, NC), row_block, memory_space=space)
+    c_live = (c_len > 0).astype(jnp.int32)  # scalar DMA guards (SMEM)
     out_s, out_d = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
+            table(pltpu.SMEM),
             table(pltpu.SMEM),
             table(pltpu.VMEM),
             table(pltpu.VMEM),
@@ -385,6 +406,7 @@ def fused_z2o_topk(
         interpret=interpret,
     )(
         r3(c_start),
+        r3(c_live),
         r3(c_skip),
         r3(c_len),
         r3(c_qterm),

@@ -341,7 +341,7 @@ def z2o_fast_step(
         fused_ok  # caller asserts doc slots < 2^26 (the kernel's key packs
         # doc << 5 | alive << 4 | qterm)
         and fused_mode != "off"
-        and (L & (L - 1)) == 0
+        and L % 128 == 0
         and (C & (C - 1)) == 0
         and L <= FUSED_Z2O_MAX_LANES
         and 1 <= F <= FUSED_Z2O_MAX_FIELDS
@@ -836,7 +836,7 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None, fmt=None)
 
     C = dix.CHUNK
     F = max(dix.num_fields, 1)
-    nc_bucket = _bucket_vec(nchunks, dix.NC_BUCKETS, 4)
+    nc_bucket = _bucket_vec(nchunks, dix.nc_buckets, dix.nc_min)
     # Routing: queries with no shared expansion nodes take the loop-free
     # fast program (z2o_fast_step; posting lanes only — fields ride as
     # sort VALUES, so any F works and doc slots just need the same < 2^27

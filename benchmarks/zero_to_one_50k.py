@@ -86,19 +86,29 @@ def main():
     from concurrent.futures import ThreadPoolExecutor
 
     n_passes = 6
-    depth = 3
+    depth_pairs = 2  # paired late drains (prefetch_results + 2 pairs in flight)
+
+    def drain_pair(pair):
+        for h in pair:
+            h.get_arrays()
 
     def timed_section():
         t1 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=1) as pool:
             futs = []
+            pending = []
             for _ in range(n_passes):
                 h = z2o_query_batch_async(
                     dix, queries, whitespace_tokenizer, 10, fmt="slots"
                 )
-                futs.append(pool.submit(h.get_arrays))
-                if len(futs) >= depth:
+                pending.append(h)
+                if len(pending) == 2:
+                    futs.append(pool.submit(drain_pair, pending))
+                    pending = []
+                while len(futs) >= depth_pairs:
                     futs.pop(0).result()
+            if pending:
+                futs.append(pool.submit(drain_pair, pending))
             for f in futs:
                 f.result()
         return n_passes * n_queries / (time.perf_counter() - t1)

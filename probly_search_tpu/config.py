@@ -116,3 +116,15 @@ class IndexConfig:
     # window composition; the persistent compile cache makes that a
     # first-run cost.  See index/device.py `_window_step_impl`.
     single_dispatch_windows: bool = True
+    # Issue `copy_to_host_async()` on the packed window result at submit
+    # time.  The runtime enqueues the D2H transfer right behind the
+    # window's execution, so it streams while the device crunches LATER
+    # windows and the drain's blocking read finds the host copy done
+    # (~0.1 ms) instead of paying the tunnel's sync+fetch round trip
+    # (~37 ms) on the serving critical path.  Measured (r6 session 2,
+    # PERFORMANCE.md): prefetched read 0.1 ms vs 36.9; steady-state
+    # serving 240.2k -> 277.1k QPS with paired drains.  Issue cost is
+    # ~0.5 ms per window; no effect on results (the read joins the same
+    # buffer).  Drain one window LATE (read window i after submitting
+    # i+2) to guarantee the copy has fully streamed before the read.
+    prefetch_results: bool = True

@@ -1451,6 +1451,12 @@ class DeviceIndex:
             for (idxs, *_a), (_, b_out, *_b) in zip(dispatches, class_specs):
                 layout.append((idxs, row))
                 row += b_out
+            if self.config.prefetch_results:
+                # Enqueue the D2H behind this window's execution so it
+                # streams during later windows' device compute; the drain's
+                # read then skips the tunnel round trip (config.py,
+                # PERFORMANCE.md r6 session 2).
+                packed.copy_to_host_async()
             return PendingBatch(
                 self, len(queries), [], packed=packed, layout=layout,
                 host_rows=host_rows, fmt=fmt, k=k, array_rows=array_rows,
@@ -1472,6 +1478,10 @@ class DeviceIndex:
                 use_ranges=rng,
             )
             parts.append((idxs, top_scores, top_docs))
+        if self.config.prefetch_results:
+            for _, top_scores, top_docs in parts:
+                top_scores.copy_to_host_async()
+                top_docs.copy_to_host_async()
         return PendingBatch(
             self, len(queries), parts, host_rows=host_rows, k=k,
             array_rows=array_rows,

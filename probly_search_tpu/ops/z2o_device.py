@@ -945,6 +945,11 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None, fmt=None)
             fused_mode=_dev_mod._FUSED_MODE,
             fmt=fmt,
         )
+    if dix.config.prefetch_results:
+        # Stream the D2H behind later windows' device compute so the
+        # drain's read skips the tunnel round trip (config.prefetch_results,
+        # PERFORMANCE.md r6 session 2).
+        packed.copy_to_host_async()
     return PendingBatch(
         dix, B, [], packed=packed, layout=layout, host_rows=host_rows,
         fmt=fmt, k=k,

@@ -794,6 +794,9 @@ class ShardedDeviceIndex:
                 buf_dev = jax.device_put(buf, sharding)
                 q_dev = jax.device_put(qbuf, sharding)
                 dispatches.append((step(self.rec, buf_dev, q_dev), layout))
+        if getattr(self.config, "prefetch_results", False):
+            for d, _ in dispatches:
+                d.copy_to_host_async()
         return ShardedPendingBatch(
             self,
             B,
@@ -1012,6 +1015,10 @@ class ShardedDeviceIndex:
                 jnp.asarray(np.asarray(fields_boost, dtype=np.float32)),
                 aux,
             )
+        if getattr(self.config, "prefetch_results", False):
+            # Stream the replicated packed result to host behind later
+            # device work (config.prefetch_results; PERFORMANCE.md r6 s2).
+            packed.copy_to_host_async()
         return ShardedPendingBatch(self, B, packed, layout, host_rows, k=k)
 
     def _aux_dummy(self):

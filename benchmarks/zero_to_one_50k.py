@@ -49,10 +49,12 @@ def main():
     # Title-like queries: top-50 stopword ranks excluded (a label-matching
     # scorer is not served stopword queries; with them, every doc matches
     # and the engine correctly degrades to the host lockstep path).
-    # 8192-query serving batches: the fixed sync+fetch round trip (~60 ms)
+    # 16384-query serving batches: the fixed sync+fetch round trip (~60 ms)
     # dominates smaller batches (r5 session 4 interleaved A/B: 2048 ->
-    # 49k QPS, 4096 -> 69k, 8192 -> 72k).
-    n_queries = 8192
+    # 49k QPS, 4096 -> 69k, 8192 -> 72k), and with prefetch + paired
+    # late drains the wider window keeps winning (r6 session 5 A/B:
+    # 8192 -> 297.7k, 16384 -> 366.4k QPS median of 5).
+    n_queries = 16384
     lo = cdf[49]
     qids = np.searchsorted(cdf, lo + rng.random((n_queries, 2)) * (1.0 - lo))
     queries = [" ".join(row) for row in vocab[np.minimum(qids, len(vocab) - 1)]]

@@ -52,7 +52,7 @@ def main():
     # 16384-query serving batches: the fixed sync+fetch round trip (~60 ms)
     # dominates smaller batches (r5 session 4 interleaved A/B: 2048 ->
     # 49k QPS, 4096 -> 69k, 8192 -> 72k), and with prefetch + paired
-    # late drains the wider window keeps winning (r6 session 5 A/B:
+    # late drains the wider window keeps winning (r6 session 4 A/B:
     # 8192 -> 297.7k, 16384 -> 366.4k QPS median of 5).
     n_queries = 16384
     lo = cdf[49]

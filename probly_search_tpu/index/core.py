@@ -77,6 +77,11 @@ import threading
 FieldAccessor = Callable[[Any], Sequence[str]]
 Tokenizer = Callable[[str], Sequence[str]]
 
+# Sentinel default for query_batch's ``top_k``: distinguishes "not given"
+# (-> config.default_top_k) from an explicit ``top_k=None`` (-> ALL matching
+# documents, the reference's uncapped contract, query.rs:97-105).
+_DEFAULT_TOP_K = object()
+
 
 class Index:
     """Full-text index over generic document keys.
@@ -234,8 +239,12 @@ class Index:
             # below sees it (a buffered key is not in _key_to_slot yet).
             self._flush_pending()
         if key in self._key_to_slot:
-            # Re-add removes the old doc (index.rs:84-86 — documented
-            # divergence: the reference errors, we replace).  No flush:
+            # Re-add removes the old doc first (documented divergence: the
+            # reference does NOT error — it overwrites docs[key] and leaves
+            # the old postings stale, index.rs:77-158, exploited by its
+            # structural test index.rs:744-755; see the module docstring and
+            # tests/test_index_structure.py::test_readd_same_key_replaces_
+            # document).  No flush:
             # removes are eager, and stats commute (sum is additive; avg is
             # recomputed from the final sum at the next flush, which every
             # reader triggers before observing it).
@@ -433,7 +442,7 @@ class Index:
         score_calculator: Optional[ScoreCalculator] = None,
         tokenizer: Tokenizer = whitespace_tokenizer,
         fields_boost: Optional[Sequence[float]] = None,
-        top_k: Optional[int] = None,
+        top_k: Any = _DEFAULT_TOP_K,
         backend: str = "auto",
     ) -> List[List[QueryResult]]:
         """Batched top-k query — the TPU-native entry point.
@@ -443,13 +452,37 @@ class Index:
         implementing the device protocol (BM25) run as one XLA program over
         the whole batch; others (zero-to-one, custom host scorers) fall back
         to the exact host path per query.
+
+        ``top_k`` contract: omitted -> ``config.default_top_k`` rows per
+        query.  An explicit ``top_k=None`` returns EVERY matching document
+        per query — the reference's uncapped contract (query.rs:97-105) —
+        served through the host path (vectorized when the scorer provides
+        it), since the device engine is top-k by construction; it is
+        incompatible with ``backend="device"`` (raises ValueError).
         """
         self._flush_pending()
         if score_calculator is None:
             from ..models import bm25 as _bm25
 
             score_calculator = _bm25.new()
-        k = top_k or self.config.default_top_k
+        if top_k is None:
+            if backend == "device":
+                raise ValueError(
+                    "top_k=None (all matching documents, query.rs:97-105) is "
+                    "served by the host path; the device engine is top-k by "
+                    "construction — pass a finite top_k or backend='auto'"
+                )
+            vq = getattr(score_calculator, "vectorized_query", None)
+            if vq is not None:
+                return [
+                    vq(self, q, tokenizer, top_k=None, fields_boost=fields_boost)
+                    for q in queries
+                ]
+            return [
+                self.query(q, score_calculator, tokenizer, fields_boost, top_k=None)
+                for q in queries
+            ]
+        k = (top_k if top_k is not _DEFAULT_TOP_K else 0) or self.config.default_top_k
         device_capable = hasattr(score_calculator, "device_score_lanes") and not getattr(
             score_calculator, "device_needs_finalize", True
         )
@@ -525,20 +558,27 @@ class Index:
         score_calculator: Optional[ScoreCalculator] = None,
         tokenizer: Tokenizer = whitespace_tokenizer,
         fields_boost: Optional[Sequence[float]] = None,
-        top_k: Optional[int] = None,
+        top_k: Any = _DEFAULT_TOP_K,
     ):
         """Non-blocking :meth:`query_batch`: plan + dispatch, return a
         pending-batch handle (``.get()`` for QueryResult rows,
         ``.get_arrays()`` for the columnar serving surface).  Routes like
         ``query_batch``: attached mesh -> sharded engine, two-phase scorers
         -> the z2o programs, one-phase -> the BM25-style window engine.
-        Host-only scorers have no async path (raises ValueError)."""
+        Host-only scorers have no async path (raises ValueError); neither
+        does ``top_k=None`` full-result retrieval (use :meth:`query_batch`,
+        which serves it synchronously on host)."""
         self._flush_pending()
         if score_calculator is None:
             from ..models import bm25 as _bm25
 
             score_calculator = _bm25.new()
-        k = top_k or self.config.default_top_k
+        if top_k is None:
+            raise ValueError(
+                "top_k=None (all matching documents) has no async device "
+                "path; use query_batch, which serves it on the host"
+            )
+        k = (top_k if top_k is not _DEFAULT_TOP_K else 0) or self.config.default_top_k
         device_capable = hasattr(score_calculator, "device_score_lanes") and not getattr(
             score_calculator, "device_needs_finalize", True
         )

@@ -543,6 +543,10 @@ class PlannedJobs:
 class DeviceIndex:
     """Device-resident snapshot of an Index at a given version."""
 
+    # Heavy-query result cache capacity (entries); eviction is LRU — see
+    # query_batch_async.  Each entry is one top-k row (~1 KB at k=128).
+    _HEAVY_CACHE_CAP = 4096
+
     # Postings per chunk (the DMA slice width of the fused kernel; 128 of
     # each chunk is alignment slack).  Smaller chunks waste fewer lanes on
     # short posting lists; larger chunks cut the alignment-slack ratio and
@@ -1362,11 +1366,18 @@ class DeviceIndex:
                             s_row[0] if s_row is not None else None,
                             sl_row[0],
                         )
-                        if len(self._heavy_cache) > 4096:
-                            self._heavy_cache.clear()
+                        # LRU eviction: dict order is insertion order, and
+                        # hits re-insert below, so the first key is the
+                        # least-recently-used.  (Clear-all here let an
+                        # adversarial mix force repeated ~460 ms full-scan
+                        # recomputes of every hot entry.)
+                        while len(self._heavy_cache) >= self._HEAVY_CACHE_CAP:
+                            del self._heavy_cache[next(iter(self._heavy_cache))]
                         self._heavy_cache[ck] = hit
                     else:
                         metrics.inc("heavy_cache_hits", 1)
+                        # Refresh recency (move to the dict's end).
+                        self._heavy_cache[ck] = self._heavy_cache.pop(ck)
                     array_rows[qi] = hit
                 hit_list = np.fromiter(array_rows, np.int64, len(array_rows))
                 keep = ~np.isin(plan.jquery, hit_list)

@@ -210,3 +210,52 @@ def test_bare_str_accessor_is_one_value():
         assert [(r.key, r.score) for r in a] == [(r.key, r.score) for r in b], q
     assert ix_str.query("pancake", bm25.new(), tokenizer, [1.0])[0].key == 0
     assert ix_str.query("a", bm25.new(), tokenizer, [1.0]) == []
+
+
+def test_query_batch_top_k_none_returns_all_matches():
+    # Explicit top_k=None = the reference's uncapped contract
+    # (query.rs:97-105): every matching document, host-served.
+    from probly_search_tpu import Index, bm25, whitespace_tokenizer
+
+    ix = Index(1)
+    docs = ["a b", "a c", "a d", "b c", "c d", "a a a"]
+    ix.add_documents_columnar(list(range(len(docs))), [docs])
+    rows = ix.query_batch(["a", "c", "zzz"], bm25.new(), top_k=None)
+    for q, row in zip(["a", "c", "zzz"], rows):
+        want = ix.query(q, bm25.new(), whitespace_tokenizer, [1.0])
+        assert [r.key for r in row] == [r.key for r in want]
+        for got, exp in zip(row, want):
+            assert abs(got.score - exp.score) < 1e-12
+    assert len(rows[0]) == 4  # more than default_top_k would ever clip
+
+
+def test_query_batch_top_k_default_and_device_none_raises():
+    import pytest
+
+    from probly_search_tpu import Index, bm25
+
+    ix = Index(1)
+    ix.add_documents_columnar(list(range(30)), [["a b"] * 30])
+    rows = ix.query_batch(["a"], bm25.new())  # omitted -> default_top_k
+    assert len(rows[0]) == ix.config.default_top_k
+    with pytest.raises(ValueError, match="top_k=None"):
+        ix.query_batch(["a"], bm25.new(), top_k=None, backend="device")
+    with pytest.raises(ValueError, match="top_k=None"):
+        ix.query_batch_async(["a"], bm25.new(), top_k=None)
+
+
+def test_query_batch_top_k_none_host_scorer_path():
+    # A custom scorer without vectorized_query takes the exact host path.
+    from probly_search_tpu import Index, whitespace_tokenizer
+    from probly_search_tpu.models.base import BaseScoreCalculator
+
+    class CountScorer(BaseScoreCalculator):
+        def score(self, pre, pointer, details, node_id, field_data, term_data):
+            return float(sum(pointer.term_frequency))
+
+    ix = Index(1)
+    docs = ["a b", "a c", "b c"]
+    ix.add_documents_columnar(list(range(len(docs))), [docs])
+    rows = ix.query_batch(["a b"], CountScorer(), top_k=None)
+    want = ix.query("a b", CountScorer(), whitespace_tokenizer, [1.0])
+    assert [r.key for r in rows[0]] == [r.key for r in want]

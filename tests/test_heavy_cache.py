@@ -91,3 +91,41 @@ class TestHeavyCache:
         rows = dix.query_batch(["aa", "zz1"], bm25.new(), top_k=10)
         assert metrics.snapshot()["counters"].get("heavy_cache_misses", 0) == 0
         assert [r.key for r in rows[0]] == _oracle(ix, "aa")
+
+
+class TestHeavyCacheLRU:
+    def test_repeated_stream_mostly_hits(self):
+        # VERDICT r3 item 8: a long heavy-query stream whose working set
+        # fits the cache must never recompute more than ~20% of repeats.
+        ix = _index(IndexConfig(heavy_cache_min_chunks=1))
+        dix = ix.device_index()
+        rng = random.Random(7)
+        hot = ["aa", "aab zz1", "zz1", "zz2", "aab", "zz3 aa"]
+        stream = [rng.choice(hot) for _ in range(5000)]
+        metrics.reset()
+        for s0 in range(0, len(stream), 250):
+            dix.query_batch(stream[s0 : s0 + 250], bm25.new(), top_k=10)
+        c = metrics.snapshot()["counters"]
+        hits = c.get("heavy_cache_hits", 0)
+        misses = c.get("heavy_cache_misses", 0)
+        assert misses <= len(hot)  # one compute per distinct query
+        assert hits >= 0.8 * (hits + misses)
+
+    def test_lru_keeps_hot_entry_under_eviction(self, monkeypatch):
+        ix = _index(IndexConfig(heavy_cache_min_chunks=1))
+        dix = ix.device_index()
+        monkeypatch.setattr(type(dix), "_HEAVY_CACHE_CAP", 3)
+        cold = ["zz%d" % i for i in range(12)]
+        dix.query_batch(["aa"], bm25.new(), top_k=10)  # populate hot
+        metrics.reset()
+        # Interleave: the hot query between cold ones.  LRU keeps "aa"
+        # resident (it is touched every other window); clear-all would
+        # recompute it after every wraparound.
+        for i, c in enumerate(cold):
+            dix.query_batch(["aa"], bm25.new(), top_k=10)
+            dix.query_batch([c], bm25.new(), top_k=10)
+        counters = metrics.snapshot()["counters"]
+        # "aa" hits every one of its 12 windows; only cold queries miss.
+        assert counters.get("heavy_cache_hits", 0) >= len(cold)
+        assert counters.get("heavy_cache_misses", 0) <= len(cold)
+        assert len(dix._heavy_cache) <= 3

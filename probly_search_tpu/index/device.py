@@ -436,6 +436,40 @@ def pack_result_rows(s, d, fmt: str):
     return jnp.stack([jax.lax.bitcast_convert_type(s, jnp.int32), d], axis=1)
 
 
+def unpack_result_rows(packed: np.ndarray, fmt: str, k: int):
+    """Decode a host copy of packed result rows (pack_result_rows's inverse):
+    -> (scores f32[rows, k] | None, slots int32[rows, k]).  Slots formats
+    carry no scores (rankings are fixed on device; validity = slots >= 0).
+    Shared by the single-chip and sharded drains."""
+    if fmt == "compact":
+        scores = packed[:, 0, :].view(np.float16).astype(np.float32)
+        lo = packed[:, 1, :].view(np.uint16).astype(np.uint32)
+        hi = packed[:, 2, :].view(np.uint16).astype(np.uint32)
+        slots = (lo | (hi << 16)).view(np.int32)
+    elif fmt == "slots":
+        lo = packed[:, 0, :].astype(np.int32) & 0xFF
+        mid = packed[:, 1, :].astype(np.int32) & 0xFF
+        hi = packed[:, 2, :].astype(np.int32)  # sign-extends bit 23
+        slots = lo | (mid << 8) | (hi << 16)
+        scores = None
+    elif fmt == "slots20":
+        lo = packed[:, :k].astype(np.int32) & 0xFF
+        mid = packed[:, k : 2 * k].astype(np.int32) & 0xFF
+        hp = packed[:, 2 * k :].astype(np.int32) & 0xFF
+        hi = np.empty((packed.shape[0], 2 * hp.shape[1]), np.int32)
+        hi[:, 0::2] = hp & 0xF
+        hi[:, 1::2] = hp >> 4
+        slots = lo | (mid << 8) | (hi[:, :k] << 16)
+        # 0xFFFFF is reserved as the -1 sentinel (the format is gated
+        # to num_slots < 2^20, so no live slot can collide with it).
+        slots = np.where(slots == 0xFFFFF, -1, slots).astype(np.int32)
+        scores = None
+    else:
+        scores = packed[:, 0, :].view(np.float32)
+        slots = packed[:, 1, :]
+    return scores, slots
+
+
 def resolve_result_format(fmt: str, num_slots: int) -> str:
     """Downgrade a requested result format to one that can address every
     doc slot: slots20 needs < 2^20 slots, slots < 2^23; beyond that the
@@ -1564,34 +1598,7 @@ class PendingBatch:
         else:
             with metrics.timer("query/fetch"):
                 packed = np.asarray(self._packed)
-        if self._fmt == "compact":
-            scores = packed[:, 0, :].view(np.float16).astype(np.float32)
-            lo = packed[:, 1, :].view(np.uint16).astype(np.uint32)
-            hi = packed[:, 2, :].view(np.uint16).astype(np.uint32)
-            slots = (lo | (hi << 16)).view(np.int32)
-        elif self._fmt == "slots":
-            lo = packed[:, 0, :].astype(np.int32) & 0xFF
-            mid = packed[:, 1, :].astype(np.int32) & 0xFF
-            hi = packed[:, 2, :].astype(np.int32)  # sign-extends bit 23
-            slots = lo | (mid << 8) | (hi << 16)
-            scores = None
-        elif self._fmt == "slots20":
-            k = self._k
-            lo = packed[:, :k].astype(np.int32) & 0xFF
-            mid = packed[:, k : 2 * k].astype(np.int32) & 0xFF
-            hp = packed[:, 2 * k :].astype(np.int32) & 0xFF
-            hi = np.empty((packed.shape[0], 2 * hp.shape[1]), np.int32)
-            hi[:, 0::2] = hp & 0xF
-            hi[:, 1::2] = hp >> 4
-            slots = lo | (mid << 8) | (hi[:, :k] << 16)
-            # 0xFFFFF is reserved as the -1 sentinel (the format is gated
-            # to num_slots < 2^20, so no live slot can collide with it).
-            slots = np.where(slots == 0xFFFFF, -1, slots).astype(np.int32)
-            scores = None
-        else:
-            scores = packed[:, 0, :].view(np.float32)
-            slots = packed[:, 1, :]
-        return scores, slots
+        return unpack_result_rows(packed, self._fmt, self._k)
 
     def get(self) -> List[List[QueryResult]]:
         from ..utils.metrics import metrics

@@ -40,6 +40,9 @@ from ..index.device import (
     _bucket,
     _bucket_vec,
     _segment_arange,
+    pack_result_rows,
+    resolve_result_format,
+    unpack_result_rows,
 )
 from ..index.segment import merge_segments
 from ..models.base import QueryResult
@@ -59,6 +62,17 @@ class ShardedDeviceIndex:
         self._index = index
         self.config = index.config
         self.CHUNK = int(getattr(index.config, "chunk_size", 0) or type(self).CHUNK)
+        # Fine (non-pow2) NC buckets, same ladder as the single-chip engine
+        # (per-shard compute IS _query_step_impl; device pace is ~linear in
+        # gathered lanes, PERFORMANCE.md r6 session 1).
+        from ..index.device import DeviceIndex as _DIX
+
+        if getattr(index.config, "fine_nc_buckets", True):
+            self.nc_buckets = _DIX.NC_BUCKETS_FINE
+            self.nc_min = 2
+        else:
+            self.nc_buckets = type(self).NC_BUCKETS
+            self.nc_min = 4
         self.mesh = mesh
         n = int(mesh.shape["docs"])
         self.n_shards = n
@@ -148,8 +162,18 @@ class ShardedDeviceIndex:
         )
         self.n_docs = float(len(index._docs))
         self.slot_to_key = list(index._slot_to_key)
+        self.num_slots = S  # GLOBAL slot count (result formats gate on it)
         self._qterm_bits = _QT_BITS
         self._step_cache: Dict[Any, Any] = {}
+        # Per-(scorer key, tokenizer) pooled per-QUERY plan cache — the
+        # sharded mirror of DeviceIndex._qplan_pools: a repeated query costs
+        # one dict lookup + CSR gather instead of tokenize/probe/df/scale
+        # work per window (measured 37-66 ms/window single-chip).  The lock
+        # serializes pool growth under concurrent query_batch_async callers.
+        import threading
+
+        self._qplan_pools: Dict[Any, Dict[str, Any]] = {}
+        self._plan_lock = threading.RLock()
 
     def _aux_rec(self, scorer):
         """Per-shard aux record array int32[n, 4, Pmax + C] for term-range
@@ -183,13 +207,94 @@ class ShardedDeviceIndex:
     # planning                                                            #
     # ------------------------------------------------------------------ #
 
-    def plan_batch(self, queries: Sequence[str], tokenizer, scorer):
-        """Plan into per-shard job tables.
+    # Pool caps (mirror DeviceIndex): beyond these the pool restarts —
+    # bounds memory under adversarial all-distinct traffic.
+    _QPLAN_MAX_QUERIES = 1 << 20
+    _QPLAN_MAX_ROWS = 4 << 20
 
-        Returns ``((jquery, words[n, NJOBS, 3], nchunks[B], njobs[B]) |
-        None, fallback)`` — ``nchunks`` is the max over shards; ``fallback``
-        lists cap-exceeding queries that degrade to the host path.
+    def plan_batch(self, queries: Sequence[str], tokenizer, scorer):
+        """Plan a batch into per-shard job tables (thread-safe, cached).
+
+        Returns ``((jquery, words[n, NJOBS, 3], nchunks[B], njobs[B],
+        has_range[B]) | None, fallback)`` — ``nchunks`` is the max over
+        shards; ``fallback`` lists cap-exceeding queries that degrade to the
+        host path.  The assembled per-QUERY job rows are snapshot-static and
+        pooled (the sharded mirror of ``DeviceIndex.plan_batch``): repeated
+        queries cost one dict lookup + a vectorized CSR gather.
         """
+        with self._plan_lock:
+            qp = self._qplan_pool(scorer, tokenizer)
+            ids = qp["ids"]
+            B = len(queries)
+            qids = np.fromiter((ids.get(q, -1) for q in queries), np.int64, count=B)
+            if (qids < 0).any():
+                miss = sorted({queries[i] for i in np.flatnonzero(qids < 0)})
+                self._qplan_insert(qp, miss, tokenizer, scorer)
+                qids = np.fromiter((ids[q] for q in queries), np.int64, count=B)
+            fallback = [int(i) for i in np.flatnonzero(qp["fallback"][qids])]
+            nj = qp["njobs"][qids]
+            total = int(nj.sum())
+            if total == 0:
+                return None, fallback
+            jquery = np.repeat(np.arange(B, dtype=np.int64), nj)
+            rows = np.repeat(qp["off"][qids], nj) + _segment_arange(nj)
+            return (
+                jquery,
+                qp["words"][:, rows],
+                qp["nchunks"][qids],
+                nj,
+                qp["has_range"][qids],
+            ), fallback
+
+    def _qplan_pool(self, scorer, tokenizer):
+        key = (
+            getattr(scorer, "device_cache_key", lambda: ("id", id(scorer)))(),
+            tokenizer,
+        )
+        qp = self._qplan_pools.get(key)
+        if qp is None or (
+            len(qp["ids"]) > self._QPLAN_MAX_QUERIES
+            or qp["words"].shape[1] > self._QPLAN_MAX_ROWS
+        ):
+            qp = {
+                "ids": {},  # query string -> dense qid
+                "off": np.zeros(1, dtype=np.int64),
+                "words": np.zeros((self.n_shards, 0, 3), dtype=np.int32),
+                "nchunks": np.zeros(0, dtype=np.int64),
+                "njobs": np.zeros(0, dtype=np.int64),
+                "has_range": np.zeros(0, dtype=bool),
+                "fallback": np.zeros(0, dtype=bool),
+            }
+            self._qplan_pools[key] = qp
+        return qp
+
+    def _qplan_insert(self, qp, miss: List[str], tokenizer, scorer) -> None:
+        """Plan first-seen queries through the full path and pool the rows
+        (job rows of query i are contiguous: ``_plan_batch_impl`` returns
+        ``jquery`` grouped ascending by construction)."""
+        planned, fb = self._plan_batch_impl(miss, tokenizer, scorer)
+        M = len(miss)
+        fb_m = np.zeros(M, dtype=bool)
+        fb_m[list(fb)] = True
+        if planned is None:
+            nj_m = np.zeros(M, dtype=np.int64)
+            words_m = np.zeros((self.n_shards, 0, 3), dtype=np.int32)
+            nch_m = np.zeros(M, dtype=np.int64)
+            rng_m = np.zeros(M, dtype=bool)
+        else:
+            _jq, words_m, nch_m, nj_m, rng_m = planned
+        base = len(qp["off"]) - 1
+        for i, q in enumerate(miss):
+            qp["ids"][q] = base + i
+        qp["off"] = np.concatenate([qp["off"], qp["off"][-1] + np.cumsum(nj_m)])
+        qp["words"] = np.concatenate([qp["words"], words_m], axis=1)
+        qp["nchunks"] = np.concatenate([qp["nchunks"], nch_m])
+        qp["njobs"] = np.concatenate([qp["njobs"], nj_m])
+        qp["has_range"] = np.concatenate([qp["has_range"], rng_m])
+        qp["fallback"] = np.concatenate([qp["fallback"], fb_m])
+
+    def _plan_batch_impl(self, queries: Sequence[str], tokenizer, scorer):
+        """Uncached planning pass (see ``plan_batch`` for the contract)."""
         cfg = self.config
         B = len(queries)
         n = self.n_shards
@@ -594,12 +699,14 @@ class ShardedDeviceIndex:
         njobs = np.bincount(jquery, minlength=B)
         return jquery, words, max_chunks, njobs
 
-    def _get_z2o_window_step(self, class_specs, k: int, lockstep: bool = False):
+    def _get_z2o_window_step(
+        self, class_specs, k: int, lockstep: bool = False, fmt: str = "f32"
+    ):
         from ..index import device as _dev
 
         # _FUSED_MODE is read at trace time inside z2o_fast_step — distinct
         # modes (tests force "interpret") need distinct jitted programs.
-        key = ("z2o_lock" if lockstep else "z2o", class_specs, k, _dev._FUSED_MODE)
+        key = ("z2o_lock" if lockstep else "z2o", class_specs, k, fmt, _dev._FUSED_MODE)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
@@ -622,7 +729,7 @@ class ShardedDeviceIndex:
             outs = []
             off = 0
             qoff = 0
-            for b_pad, nj, nc in class_specs:
+            for b_pad, b_out, nj, nc in class_specs:
                 nwords = b_pad * nj * 4
                 jobs_l = w[off : off + nwords].reshape(b_pad, nj * 4)
                 off += nwords
@@ -653,6 +760,9 @@ class ShardedDeviceIndex:
                         fused_ok=self.local_slots < (1 << 26),
                         fused_mode=fused_mode,
                     )
+                # Drop pow-2 pad rows before the collective and the fetch.
+                s = s[:b_out]
+                d_local = d_local[:b_out]
                 if kk < k:
                     s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
                     d_local = jnp.pad(d_local, ((0, 0), (0, k - kk)), constant_values=-1)
@@ -666,10 +776,14 @@ class ShardedDeviceIndex:
             SB = scores.shape[0]
             s_cat = jnp.moveaxis(s_all, 0, 1).reshape(SB, n * k)
             d_cat = jnp.moveaxis(d_all, 0, 1).reshape(SB, n * k)
-            v, i = jax.lax.top_k(s_cat, k)
-            d = jnp.take_along_axis(d_cat, i, axis=1)
+            # 2-key sort (score desc, global slot asc): deterministic tie
+            # order matching the single-chip engine and the host oracle
+            # (lax.top_k alone breaks ties by shard-concat position).
+            neg_s, d = jax.lax.sort((-s_cat, d_cat), dimension=1, num_keys=2)
+            v = -neg_s[:, :k]
+            d = d[:, :k]
             d = jnp.where(jnp.isfinite(v), d, -1)
-            packed = jnp.stack([jax.lax.bitcast_convert_type(v, jnp.int32), d], axis=1)
+            packed = pack_result_rows(v, d, fmt)
             return packed[None, None]
 
         fn = jax.jit(
@@ -681,7 +795,9 @@ class ShardedDeviceIndex:
                     P("docs", "data", None),
                     P("docs", "data", None),
                 ),
-                out_specs=P("docs", "data", None, None, None),
+                # slots20 packs each row to a flat byte vector (rank-4
+                # window output); the other formats keep [.., {2,3}, k].
+                out_specs=P("docs", "data", *([None] * (2 if fmt == "slots20" else 3))),
                 check_vma=False,
             )
         )
@@ -732,7 +848,7 @@ class ShardedDeviceIndex:
         d_ax = int(self.mesh.shape["data"])
 
         def pack_classes(jquery_p, words_p, max_chunks_p, njobs_p, qlen_p):
-            nc_bucket = _bucket_vec(max_chunks_p, self.NC_BUCKETS, 4)
+            nc_bucket = _bucket_vec(max_chunks_p, self.nc_buckets, self.nc_min)
             class_specs = []
             layout = []
             flat_parts = [[] for _ in range(n)]
@@ -748,6 +864,9 @@ class ShardedDeviceIndex:
                 rank = np.arange(len(members))
                 drow = rank // b_pad
                 dslot = rank % b_pad
+                # Kept output rows per data cell (pad-row trim, see the
+                # BM25 window packer above).
+                b_out = min(b_pad, -(-min(len(members), b_pad) // 256) * 256)
                 jobs_cls = np.zeros((n, d_ax, b_pad, nj, 4), dtype=np.int32)
                 sel = np.isin(jquery_p, members)
                 jq = jquery_p[sel]
@@ -759,9 +878,9 @@ class ShardedDeviceIndex:
                 for s in range(n):
                     flat_parts[s].append(jobs_cls[s].reshape(d_ax, -1))
                 qlen_parts.append(qlen_cls)
-                class_specs.append((b_pad, nj, nc))
+                class_specs.append((b_pad, b_out, nj, nc))
                 layout.append((members, drow, dslot, row_base))
-                row_base += b_pad
+                row_base += b_out
             if not class_specs:
                 return None
             buf = np.stack([np.concatenate(parts, axis=1) for parts in flat_parts])
@@ -786,10 +905,13 @@ class ShardedDeviceIndex:
             if not packs:
                 return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
 
+        fmt = resolve_result_format(
+            self.config.effective_result_format(), self.num_slots
+        )
         with metrics.timer("sharded/dispatch"):
             for (class_specs, layout, buf, qbuf), is_lock in packs:
                 step = self._get_z2o_window_step(
-                    tuple(class_specs), k, lockstep=is_lock
+                    tuple(class_specs), k, lockstep=is_lock, fmt=fmt
                 )
                 buf_dev = jax.device_put(buf, sharding)
                 q_dev = jax.device_put(qbuf, sharding)
@@ -804,19 +926,21 @@ class ShardedDeviceIndex:
             [d[1] for d in dispatches],
             host_rows,
             k=k,
+            fmt=fmt,
         )
 
     # ------------------------------------------------------------------ #
     # execution                                                           #
     # ------------------------------------------------------------------ #
 
-    def _get_window_step(self, scorer, class_specs, k: int):
+    def _get_window_step(self, scorer, class_specs, k: int, fmt: str = "f32"):
         from ..index import device as _dev
 
         key = (
             getattr(scorer, "device_cache_key", lambda: ("id", id(scorer)))(),
             class_specs,
             k,
+            fmt,
             # _FUSED_MODE is read at trace time inside _query_step_impl —
             # distinct modes (tests force "interpret") need distinct
             # jitted programs.
@@ -839,7 +963,7 @@ class ShardedDeviceIndex:
             aux_l = aux_blk[0]
             outs = []
             off = 0
-            for b_pad, nj, nc, rng in class_specs:
+            for b_pad, b_out, nj, nc, rng in class_specs:
                 nwords = b_pad * nj * 3
                 jobs_l = w[off : off + nwords].reshape(b_pad, nj * 3)
                 off += nwords
@@ -858,6 +982,12 @@ class ShardedDeviceIndex:
                     aux=aux_l,
                     use_ranges=rng,
                 )
+                # b_out <= b_pad: pow-2 pad rows beyond the real query
+                # count are dropped BEFORE the collective and the packed
+                # fetch (drained bytes set the serving pace, and the O(k)
+                # all-gather rides ICI per row).
+                s = s[:b_out]
+                d_local = d_local[:b_out]
                 if kk < k:
                     s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
                     d_local = jnp.pad(d_local, ((0, 0), (0, k - kk)), constant_values=-1)
@@ -872,11 +1002,17 @@ class ShardedDeviceIndex:
             SB = scores.shape[0]
             s_cat = jnp.moveaxis(s_all, 0, 1).reshape(SB, n * k)
             d_cat = jnp.moveaxis(d_all, 0, 1).reshape(SB, n * k)
-            v, i = jax.lax.top_k(s_cat, k)
-            d = jnp.take_along_axis(d_cat, i, axis=1)
+            # 2-key sort (score desc, global slot asc): deterministic tie
+            # order matching the single-chip engine and the host oracle
+            # (lax.top_k alone breaks ties by shard-concat position).
+            neg_s, d = jax.lax.sort((-s_cat, d_cat), dimension=1, num_keys=2)
+            v = -neg_s[:, :k]
+            d = d[:, :k]
             d = jnp.where(jnp.isfinite(v), d, -1)
-            packed = jnp.stack([jax.lax.bitcast_convert_type(v, jnp.int32), d], axis=1)
-            return packed[None, None]  # [1, 1, SB, 2, k]
+            # Rankings are fixed in f32 above; the format only changes what
+            # crosses the D2H tunnel (shared with the single-chip engine).
+            packed = pack_result_rows(v, d, fmt)
+            return packed[None, None]  # [1, 1, SB, ...]
 
         fn = jax.jit(
             jax.shard_map(
@@ -889,7 +1025,9 @@ class ShardedDeviceIndex:
                     P(),
                     P("docs", None, None),
                 ),
-                out_specs=P("docs", "data", None, None, None),
+                # slots20 packs each row to a flat byte vector (rank-4
+                # window output); the other formats keep [.., {2,3}, k].
+                out_specs=P("docs", "data", *([None] * (2 if fmt == "slots20" else 3))),
                 # pallas_call inside shard_map cannot express per-output
                 # `vma` on its ShapeDtypeStructs, so the varying-mesh-axes
                 # checker must be off for the fused kernel to run per shard
@@ -951,6 +1089,9 @@ class ShardedDeviceIndex:
         jquery, words, max_chunks, njobs, has_range = planned
         n = self.n_shards
         d_ax = int(self.mesh.shape["data"])
+        fmt = resolve_result_format(
+            self.config.effective_result_format(), self.num_slots
+        )
 
         # Shape classes (same bucketing as the single-chip engine), packed
         # into one flat per-(shard, data) buffer.  Range-carrying queries
@@ -959,7 +1100,7 @@ class ShardedDeviceIndex:
         # narrow-row range programs but pathologically mishandles 8-row
         # ones (PERFORMANCE.md r4).
         with metrics.timer("sharded/pack"):
-            nc_bucket = _bucket_vec(max_chunks, self.NC_BUCKETS, 4)
+            nc_bucket = _bucket_vec(max_chunks, self.nc_buckets, self.nc_min)
             class_specs = []
             layout = []  # (query_indices, data_rows, data_slots, row_offset)
             flat_parts = [[] for _ in range(n)]
@@ -986,6 +1127,12 @@ class ShardedDeviceIndex:
                         rank = np.arange(len(members))
                         drow = rank // b_pad
                         dslot = rank % b_pad
+                        # Output rows kept per data cell: the max occupancy
+                        # of any cell (cell 0 fills first) rounded up to a
+                        # coarse 256 granularity — drops most pow-2 pad rows
+                        # from the collective and the D2H fetch while
+                        # keeping window compositions (= compiles) few.
+                        b_out = min(b_pad, -(-min(len(members), b_pad) // 256) * 256)
                         jobs_cls = np.zeros((n, d_ax, b_pad, nj, 3), dtype=np.int32)
                         sel = np.isin(jquery, members)
                         jq = jquery[sel]
@@ -994,9 +1141,9 @@ class ShardedDeviceIndex:
                         jobs_cls[:, drow[r], dslot[r], pos] = words[:, sel]
                         for s in range(n):
                             flat_parts[s].append(jobs_cls[s].reshape(d_ax, -1))
-                        class_specs.append((b_pad, nj, nc, rng_mode))
+                        class_specs.append((b_pad, b_out, nj, nc, rng_mode))
                         layout.append((members, drow, dslot, row_base))
-                        row_base += b_pad
+                        row_base += b_out
             if not class_specs:
                 return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
             buf = np.stack(
@@ -1005,7 +1152,7 @@ class ShardedDeviceIndex:
 
         any_ranges = any(rng for *_s, rng in class_specs)
         aux = self._aux_rec(scorer) if any_ranges else self._aux_dummy()
-        step = self._get_window_step(scorer, tuple(class_specs), k)
+        step = self._get_window_step(scorer, tuple(class_specs), k, fmt)
         with metrics.timer("sharded/dispatch"):
             buf_dev = jax.device_put(buf, NamedSharding(self.mesh, P("docs", "data", None)))
             packed = step(
@@ -1019,7 +1166,7 @@ class ShardedDeviceIndex:
             # Stream the replicated packed result to host behind later
             # device work (config.prefetch_results; PERFORMANCE.md r6 s2).
             packed.copy_to_host_async()
-        return ShardedPendingBatch(self, B, packed, layout, host_rows, k=k)
+        return ShardedPendingBatch(self, B, packed, layout, host_rows, k=k, fmt=fmt)
 
     def _aux_dummy(self):
         d = self._aux_cache.get("dummy")
@@ -1035,15 +1182,18 @@ class ShardedDeviceIndex:
 class ShardedPendingBatch:
     """Handle for an in-flight sharded query window."""
 
-    def __init__(self, sdix, n, packed, layout, host_rows=None, k=None) -> None:
+    def __init__(
+        self, sdix, n, packed, layout, host_rows=None, k=None, fmt="f32"
+    ) -> None:
         self._sdix = sdix
         self._n = n
         # One dispatch (BM25 window) or a list of them (z2o fast +
-        # lockstep); each packed is [n_shards, d_ax, SB, 2, k] (replicated
-        # over docs) with its own layout.
+        # lockstep); each packed is [n_shards, d_ax, SB, ...] (replicated
+        # over docs; trailing dims per result format) with its own layout.
         self._packed = packed
         self._layout = layout
         self._host_rows = host_rows
+        self._fmt = fmt
         # The submitted top_k: sizes the all-host-fallback result arrays
         # (get_arrays must agree with get() when top_k != default_top_k).
         self._k = k if k is not None else sdix.config.default_top_k
@@ -1052,9 +1202,17 @@ class ShardedPendingBatch:
         """QueryResult rows, assembled through the columnar drain (nested
         per-member Python loops measured slower than the whole device round
         trip at large windows — PERFORMANCE.md)."""
+        if self._fmt.startswith("slots") and self._packed is not None:
+            raise ValueError(
+                "result_format='slots'/'slots20' windows carry no scores; use "
+                "get_arrays() (ranked slots/keys) or a score-carrying "
+                "result_format for QueryResult rows"
+            )
         scores, slots, keys = self.get_arrays()
         results: List[List[QueryResult]] = [[] for _ in range(self._n)]
-        valid = np.isfinite(scores)
+        valid = (
+            np.isfinite(scores) if scores is not None else slots >= 0
+        )
         obj_keys = keys.dtype == object if keys is not None else False
         for qi in range(self._n):
             if self._host_rows and qi in self._host_rows:
@@ -1071,15 +1229,20 @@ class ShardedPendingBatch:
 
     def get_arrays(self, want_keys: bool = True):
         """Raw columnar results — the serving surface (mirrors
-        ``PendingBatch.get_arrays``): ``(scores f32[n, k], slots int32[n, k],
-        keys[n, k])`` in query order; invalid entries carry score ``-inf``
-        (``slots`` is the GLOBAL doc slot).  Per-result Python object
-        construction costs more than the device round trip at large windows
-        (PERFORMANCE.md); multi-chip serving must drain through this.
+        ``PendingBatch.get_arrays``): ``(scores f32[n, k] | None, slots
+        int32[n, k], keys[n, k])`` in query order.  VALIDITY MASK: ``slots
+        >= 0`` (``slots`` is the GLOBAL doc slot); invalid entries carry
+        score ``-inf`` when scores are present.  Under the slots formats
+        the window carries no scores and ``scores`` is ``None`` (rankings
+        are still exact: columns are in descending-score order).
+        Per-result Python object construction costs more than the device
+        round trip at large windows (PERFORMANCE.md); multi-chip serving
+        must drain through this.
         """
         from ..utils.metrics import metrics
 
         sdix = self._sdix
+        slots_only = self._fmt.startswith("slots")
         with metrics.timer("sharded/drain"):
             if self._packed is None:
                 k = self._k
@@ -1089,20 +1252,27 @@ class ShardedPendingBatch:
                 many = isinstance(self._packed, list)
                 packs = self._packed if many else [self._packed]
                 layouts = self._layout if many else [self._layout]
-                k = None
-                scores = slots = None
+                k = self._k
+                scores = (
+                    None if slots_only else np.full((self._n, k), -np.inf, np.float32)
+                )
+                slots = np.full((self._n, k), -1, np.int32)
                 for packed_dev, layout in zip(packs, layouts):
-                    packed = np.asarray(packed_dev)[0]  # [d_ax, SB, 2, k]
-                    if scores is None:
-                        k = packed.shape[-1]
-                        scores = np.full((self._n, k), -np.inf, np.float32)
-                        slots = np.full((self._n, k), -1, np.int32)
-                    p_scores = packed[:, :, 0, :].view(np.float32)
-                    p_slots = packed[:, :, 1, :]
+                    with metrics.timer("sharded/fetch"):
+                        host = np.asarray(packed_dev)[0]  # [d_ax, SB, ...]
+                    d_ax, SB = host.shape[0], host.shape[1]
+                    p_scores, p_slots = unpack_result_rows(
+                        host.reshape((d_ax * SB,) + host.shape[2:]), self._fmt, k
+                    )
+                    p_slots = p_slots.reshape(d_ax, SB, k)
+                    if p_scores is not None:
+                        p_scores = p_scores.reshape(d_ax, SB, k)
                     for members, drow, dslot, row_base in layout:
-                        scores[members] = p_scores[drow, row_base + dslot]
+                        if scores is not None:
+                            scores[members] = p_scores[drow, row_base + dslot]
                         slots[members] = p_slots[drow, row_base + dslot]
-                slots = np.where(np.isfinite(scores), slots, -1)
+                if scores is not None:
+                    slots = np.where(np.isfinite(scores), slots, -1)
             keys = None
             if want_keys:
                 if not sdix.slot_to_key:
@@ -1118,10 +1288,15 @@ class ShardedPendingBatch:
                     valid = slots >= 0
                     keys = np.where(valid, karr[np.where(valid, slots, 0)], None)
             if self._host_rows:
+                k2s = sdix._index._key_to_slot
                 for qi, row in self._host_rows.items():
-                    m = min(len(row), scores.shape[1])
-                    scores[qi, :m] = [r.score for r in row[:m]]
+                    m = min(len(row), slots.shape[1])
+                    if scores is not None:
+                        scores[qi, :m] = [r.score for r in row[:m]]
                     slots[qi, :] = -1
+                    # Host-fallback rows keep the ``slots >= 0`` validity
+                    # contract (the only mask under the slots formats).
+                    slots[qi, :m] = [k2s.get(r.key, -1) for r in row[:m]]
                     if keys is not None:
                         if keys.dtype == object:
                             keys[qi, :] = None

@@ -459,3 +459,135 @@ class TestShardedFusedInterpret:
             assert len(row) == len(want), q
             for a, b in zip(row, want):
                 assert abs(a.score - b.score) < 1e-5 * max(1.0, abs(b.score)), q
+
+
+# ---------------------------------------------------------------------- #
+# r4: serving parity with the single-chip engine                          #
+# ---------------------------------------------------------------------- #
+
+
+class TestShardedResultFormats:
+    """Every result format serves through the sharded window (VERDICT r3
+    item 1): rankings identical to the oracle; slots formats carry no
+    scores; compact's f16-quantized scores stay within ~5e-4."""
+
+    @pytest.mark.parametrize("fmt", ["f32", "compact", "slots", "slots20"])
+    def test_format_matches_oracle(self, fmt):
+        from probly_search_tpu.config import IndexConfig
+        from probly_search_tpu import whitespace_tokenizer
+
+        ix, queries = _corpus_index(n=220, seed=11)
+        ix.config.result_format = fmt
+        mesh = make_mesh(data=2, docs=4)
+        sdix = ShardedDeviceIndex(ix, mesh)
+        h = sdix.query_batch_async(queries, bm25.new(), top_k=10)
+        scores, slots, keys = h.get_arrays()
+        assert slots.shape == (len(queries), 10)
+        if fmt.startswith("slots"):
+            assert scores is None
+        for qi, q in enumerate(queries):
+            want = ix.query(q, bm25.new(), tokenizer, [1.0], top_k=10)
+            got_keys = [int(kk) for kk, sl in zip(keys[qi], slots[qi]) if sl >= 0]
+            want_keys = [r.key for r in want]
+            # Ties may order differently across engines; compare score-
+            # equivalence classes via the oracle's scores.
+            oracle_by_key = {r.key: r.score for r in want}
+            assert len(got_keys) == len(want_keys), (q, got_keys, want_keys)
+            # every returned doc must score within the oracle's top-k range
+            if want:
+                kth = want[-1].score
+                for kk in got_keys:
+                    full = ix.query(q, bm25.new(), tokenizer, [1.0])
+                    by_key = {r.key: r.score for r in full}
+                    assert by_key[kk] >= kth - 1e-6
+            if scores is not None:
+                tol = 1e-3 if fmt == "compact" else 2e-5
+                got_scores = [
+                    float(s) for s, sl in zip(scores[qi], slots[qi]) if sl >= 0
+                ]
+                for gs, r in zip(got_scores, want):
+                    assert abs(gs - r.score) <= tol * max(1.0, abs(r.score)), q
+
+    def test_slots_get_raises(self):
+        from probly_search_tpu.config import IndexConfig
+
+        ix, queries = _corpus_index(n=60, seed=3)
+        ix.config.result_format = "slots"
+        sdix = ShardedDeviceIndex(ix, make_mesh(data=1, docs=8))
+        h = sdix.query_batch_async(queries[:4], bm25.new(), top_k=5)
+        with pytest.raises(ValueError, match="slots"):
+            h.get()
+
+    def test_z2o_sharded_formats(self):
+        from probly_search_tpu import zero_to_one
+        from probly_search_tpu.models.zero_to_one import vectorized_query
+
+        for fmt in ("slots", "f32"):
+            ix, _ = _corpus_index(n=120, seed=9)
+            ix.config.result_format = fmt
+            queries = ["ab", "abc d", "ba"]
+            sdix = ShardedDeviceIndex(ix, make_mesh(data=1, docs=8))
+            h = sdix.query_batch_z2o(queries, tokenizer=tokenizer, top_k=10)
+            scores, slots, keys = h.get_arrays()
+            for qi, q in enumerate(queries):
+                want = vectorized_query(ix, q, tokenizer, top_k=10)
+                got = [int(kk) for kk, sl in zip(keys[qi], slots[qi]) if sl >= 0]
+                assert len(got) == len(want), (fmt, q)
+                if scores is not None and want:
+                    by_key = dict(zip(got, scores[qi][slots[qi] >= 0]))
+                    for r in want:
+                        if r.key in by_key:
+                            assert abs(by_key[r.key] - r.score) < 2e-5
+
+
+class TestShardedPlanCache:
+    def test_repeated_queries_skip_replanning(self, monkeypatch):
+        ix, queries = _corpus_index(n=100, seed=21)
+        sdix = ShardedDeviceIndex(ix, make_mesh(data=1, docs=8))
+        r1 = sdix.query_batch(queries, bm25.new(), top_k=5)
+        # Second window with the same queries must assemble purely from the
+        # pool — a fresh planning pass would call _plan_batch_impl.
+        def boom(*a, **k):
+            raise AssertionError("replanned a cached query")
+
+        monkeypatch.setattr(sdix, "_plan_batch_impl", boom)
+        r2 = sdix.query_batch(queries, bm25.new(), top_k=5)
+        for a_row, b_row in zip(r1, r2):
+            assert [r.key for r in a_row] == [r.key for r in b_row]
+            for a, b in zip(a_row, b_row):
+                assert a.score == b.score
+
+    def test_pool_mixes_new_and_cached(self):
+        ix, queries = _corpus_index(n=100, seed=22)
+        sdix = ShardedDeviceIndex(ix, make_mesh(data=2, docs=4))
+        half = queries[: len(queries) // 2]
+        sdix.query_batch(half, bm25.new(), top_k=5)
+        rows = sdix.query_batch(queries, bm25.new(), top_k=5)
+        for q, row in zip(queries, rows):
+            want = ix.query(q, bm25.new(), tokenizer, [1.0], top_k=5)
+            assert [r.key for r in row] == [r.key for r in want], q
+
+
+def test_sharded_pad_row_trim():
+    # >256 queries in one class: b_pad rounds to a power of two, b_out trims
+    # the fetch to 256-row granularity.  Parity must hold under the trim.
+    rng = random.Random(31)
+    vocab = ["w%02d" % i for i in range(40)]
+    ix = Index(1)
+    texts = [" ".join(rng.choice(vocab) for _ in range(4)) for _ in range(400)]
+    ix.add_documents_columnar(list(range(400)), [texts])
+    queries = [rng.choice(vocab) + "x" for _ in range(10)]  # no-match filler
+    queries += [rng.choice(vocab) for _ in range(590)]
+    sdix = ShardedDeviceIndex(ix, make_mesh(data=1, docs=8))
+    h = sdix.query_batch_async(queries, bm25.new(), top_k=5)
+    # The packed result must carry FEWER rows than the pow-2 b_pad sum.
+    total_rows = int(np.asarray(h._packed).shape[2])
+    scores, slots, keys = h.get_arrays()
+    sample = list(range(0, len(queries), 37))
+    from probly_search_tpu import whitespace_tokenizer
+    for qi in sample:
+        want = ix.query(queries[qi], bm25.new(), whitespace_tokenizer, [1.0], top_k=5)
+        got = [int(kk) for kk, sl in zip(keys[qi], slots[qi]) if sl >= 0]
+        assert got == [r.key for r in want], queries[qi]
+    # 590 real queries in the dominant class: b_pad 1024, b_out 768.
+    assert total_rows < 1024

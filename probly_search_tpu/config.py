@@ -116,6 +116,18 @@ class IndexConfig:
     # window composition; the persistent compile cache makes that a
     # first-run cost.  See index/device.py `_window_step_impl`.
     single_dispatch_windows: bool = True
+    # Dispatch each shape class as its OWN device program (shared across
+    # every window composition — jit-keyed on the class shape alone) plus
+    # one tiny per-composition pack program, instead of composing the whole
+    # window into one jitted program.  Same single packed H2D buffer and
+    # single packed D2H drain; executions serialize on the device either
+    # way.  Bounds the compile-variant explosion: a drifting workload
+    # compiles O(distinct class shapes) expensive programs instead of
+    # O(window compositions), and the pack step (trim + byte-pack + concat)
+    # compiles in seconds, not the 30-120 s a full window composition costs
+    # on this platform's remote compiler.  Takes precedence over
+    # single_dispatch_windows when set.
+    per_class_dispatch: bool = False
     # Issue `copy_to_host_async()` on the packed window result at submit
     # time.  The runtime enqueues the D2H transfer right behind the
     # window's execution, so it streams while the device crunches LATER

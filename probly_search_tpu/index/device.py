@@ -530,6 +530,89 @@ def _get_window_step(scorer) -> Any:
     return fn
 
 
+def _class_step_impl(
+    scorer,
+    rec,
+    field_avg,
+    fields_boost,
+    words_flat,
+    off,
+    aux,
+    *,
+    chunk: int,
+    k: int,
+    qterm_bits: int,
+    num_fields: int,
+    num_chunks: int,
+    nj: int,
+    b_pad: int,
+    use_ranges: bool,
+):
+    """One shape class sliced out of the window's packed job buffer.
+
+    ``off`` is a TRACED scalar (no retrace per window composition): the
+    program is keyed on the class shape alone, so a drifting workload
+    compiles O(distinct class shapes) programs, not O(window compositions)
+    — the per-class analogue of `_window_step_impl` (IndexConfig.
+    per_class_dispatch)."""
+    n = b_pad * nj * 3
+    jobs_flat = jax.lax.dynamic_slice(words_flat, (off,), (n,))
+    return _query_step_impl(
+        scorer,
+        chunk=chunk,
+        k=k,
+        qterm_bits=qterm_bits,
+        num_fields=num_fields,
+        num_chunks=num_chunks,
+        rec=rec,
+        field_avg=field_avg,
+        fields_boost=fields_boost,
+        jobs_flat=jobs_flat.reshape(b_pad, nj * 3),
+        aux=aux,
+        use_ranges=use_ranges,
+    )
+
+
+def _get_class_step(scorer) -> Any:
+    """Jitted per-class step (IndexConfig.per_class_dispatch)."""
+    key = ("class", _scorer_cache_key(scorer), _FUSED_MODE)
+    fn = _STEP_CACHE.get(key)
+    if fn is None:
+        from functools import partial
+
+        fn = jax.jit(
+            partial(_class_step_impl, scorer),
+            static_argnames=(
+                "chunk", "k", "qterm_bits", "num_fields", "num_chunks",
+                "nj", "b_pad", "use_ranges",
+            ),
+        )
+        _STEP_CACHE[key] = fn
+    return fn
+
+
+def _pack_window_impl(ss, ds, *, b_outs, k: int, fmt: str):
+    """Pack per-class top-k outputs into one window result buffer.
+
+    The only per-composition program under per_class_dispatch — a trim +
+    byte-pack + concat (no gathers, no sorts), so its compile is cheap
+    where a full `_window_step_impl` composition is a 30-120 s remote
+    compile on this platform."""
+    outs = []
+    for s, d, b_out in zip(ss, ds, b_outs):
+        s = s[:b_out]
+        d = d[:b_out]
+        kk = s.shape[1]
+        if kk < k:
+            s = jnp.pad(s, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+            d = jnp.pad(d, ((0, 0), (0, k - kk)), constant_values=-1)
+        outs.append(pack_result_rows(s, d, fmt))
+    return jnp.concatenate(outs, axis=0)
+
+
+_PACK_STEP = jax.jit(_pack_window_impl, static_argnames=("b_outs", "k", "fmt"))
+
+
 def _bucket(n: int, buckets: Sequence[int], minimum: int) -> int:
     n = max(n, minimum)
     for b in buckets:
@@ -1444,6 +1527,77 @@ class DeviceIndex:
         metrics.inc("dispatches", len(dispatches))
         boost_arr = jnp.asarray(np.asarray(fields_boost, dtype=np.float32))
         dispatches.sort(key=lambda d: (d[2], d[3], d[1].shape[0]))
+        if getattr(self.config, "per_class_dispatch", False):
+            # Per-class device programs + one tiny pack program, still ONE
+            # packed H2D buffer and ONE packed D2H drain.  Executions
+            # serialize on the device in submission order, so the window's
+            # device cost is the same class programs back to back; what
+            # changes vs the composed window is the compile economics (the
+            # expensive programs are keyed on class shape alone — see
+            # _class_step_impl) and XLA's freedom per class.  A/B'd against
+            # the composed window on hardware (PERFORMANCE.md r7).
+            class_specs = tuple(
+                (
+                    jobs_flat.shape[0],
+                    min(jobs_flat.shape[0], -(-len(idxs) // 256) * 256),
+                    nj,
+                    nc,
+                    rng,
+                )
+                for idxs, jobs_flat, nc, nj, rng in dispatches
+            )
+            any_ranges = any(rng for *_rest, rng in class_specs)
+            aux = (
+                self._aux_rec(scorer)
+                if any_ranges
+                else jnp.asarray(_AUX_DUMMY)
+            )
+            dummy_aux = jnp.asarray(_AUX_DUMMY)
+            with metrics.timer("query/h2d"):
+                words_flat = jnp.asarray(
+                    np.concatenate(
+                        [jf.reshape(-1) for _, jf, _, _, _ in dispatches]
+                    )
+                )
+            cstep = _get_class_step(scorer)
+            ss, ds, b_outs = [], [], []
+            off = 0
+            with metrics.timer("query/dispatch"):
+                for (idxs, jobs_flat, nc, nj, rng), (b_pad, b_out, *_r) in zip(
+                    dispatches, class_specs
+                ):
+                    s, d = cstep(
+                        self.rec,
+                        self.field_avg,
+                        boost_arr,
+                        words_flat,
+                        off,
+                        aux if rng else dummy_aux,
+                        chunk=self.CHUNK,
+                        k=min(k, nc * self.CHUNK),
+                        qterm_bits=self._qterm_bits,
+                        num_fields=self.num_fields,
+                        num_chunks=nc,
+                        nj=nj,
+                        b_pad=b_pad,
+                        use_ranges=rng,
+                    )
+                    ss.append(s)
+                    ds.append(d)
+                    b_outs.append(b_out)
+                    off += b_pad * nj * 3
+                packed = _PACK_STEP(ss, ds, b_outs=tuple(b_outs), k=k, fmt=fmt)
+            layout = []
+            row = 0
+            for (idxs, *_a), b_out in zip(dispatches, b_outs):
+                layout.append((idxs, row))
+                row += b_out
+            if self.config.prefetch_results:
+                packed.copy_to_host_async()
+            return PendingBatch(
+                self, len(queries), [], packed=packed, layout=layout,
+                host_rows=host_rows, fmt=fmt, k=k, array_rows=array_rows,
+            )
         if self.config.single_dispatch_windows:
             # One jitted program per window composition, one packed H2D
             # buffer, one packed D2H result: the whole window pays the

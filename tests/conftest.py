@@ -17,7 +17,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compile cache: shape-bucketed dispatch variants compile once
-# across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/psearch_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NO persistent compile cache for tests: serializing/deserializing the
+# sharded (8-virtual-device) CPU executable segfaults this jax build
+# (r4: deterministic crashes in compilation_cache.put_executable_and_time
+# and the matching get path, /tmp/pytest_r4{b,c}.log).  CPU compiles are
+# cheap; reliability wins.

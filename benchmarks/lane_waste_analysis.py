@@ -23,7 +23,6 @@ import sys
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
-from bench import make_corpus, make_queries  # noqa: E402
 
 
 def ladder(qlanes, quanta):

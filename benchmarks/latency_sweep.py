@@ -16,7 +16,6 @@ import json
 import sys
 import time
 
-import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from bench import log, make_corpus, make_queries  # noqa: E402
@@ -57,12 +56,15 @@ def main():
     from probly_search_tpu import Index, IndexConfig, bm25
 
     per_class = "--per-class" in sys.argv
+    template = "--template" in sys.argv
     t0 = time.time()
     vocab, cdf, texts = make_corpus(int(1e6), 50_000, 8)
     ix = Index(
         1,
         config=IndexConfig(
-            result_format="slots20", per_class_dispatch=per_class
+            result_format="slots20",
+            per_class_dispatch=per_class,
+            template_compositions=template,
         ),
     )
     ix.add_documents_columnar(list(range(int(1e6))), [texts])
@@ -105,7 +107,16 @@ def main():
             f"window {r['window']:6d} depth {r['depth']}: {r['qps_median']:7d} QPS  "
             f"p50 {r['p50_ms']:7.1f} ms  p99 {r['p99_ms']:7.1f} ms"
         )
-    print(json.dumps({"metric": "latency_sweep_1M", "per_class": per_class, "rows": rows}))
+    print(
+        json.dumps(
+            {
+                "metric": "latency_sweep_1M",
+                "per_class": per_class,
+                "template": template,
+                "rows": rows,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

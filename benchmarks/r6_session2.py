@@ -43,7 +43,6 @@ def main():
     log(f"devices: {jax.devices()}")
 
     from probly_search_tpu import Index, IndexConfig, bm25
-    from probly_search_tpu.utils.metrics import metrics
 
     n_docs, window, top_k = int(1e6), 16384, 10
     t0 = time.time()

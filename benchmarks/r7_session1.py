@@ -24,7 +24,6 @@ compiles of 30-120 s each).
 import json
 import sys
 import time
-from functools import partial
 
 import numpy as np
 
@@ -36,7 +35,7 @@ def phase_a_sharded_smoke():
     import jax
     import random
 
-    from probly_search_tpu import Index, bm25, whitespace_tokenizer, zero_to_one
+    from probly_search_tpu import Index, bm25, whitespace_tokenizer
     from probly_search_tpu.models.zero_to_one import ZeroToOne
     from probly_search_tpu.parallel import ShardedDeviceIndex
     from jax.sharding import Mesh
@@ -104,7 +103,7 @@ def phase_b_quantum_probe(n_docs=1_000_000):
         if Q != 1024:
             dix.nc_buckets = geo_ladder(Q)
             dix.nc_min = 2
-        plan, fb = dix.plan_batch(queries, __import__("probly_search_tpu").whitespace_tokenizer, scorer)
+        plan, fb = dix.plan_batch(queries, whitespace_tokenizer, scorer)
         assert not fb
         packs = dix.pack_dispatches(len(queries), plan)
         total_lanes = 0

@@ -12,7 +12,19 @@ echo "== lint (stdlib clippy/rustfmt analogue, ci.yml:44-69) =="
 python tools/lint.py
 
 echo "== unit + integration tests + coverage floor (grcov analogue, ci.yml:71-117) =="
-python -m tools.covgate 85 tests/ -q
+# ONE pytest process PER FILE: XLA:CPU segfaults in
+# backend_compile_and_load once enough large programs (window
+# compositions, the 8-device shard_map window) have compiled in one
+# process — position-dependent (r7: reproduced at three different tests
+# purely by ordering; every file passes alone — a jax/XLA process-state
+# bug, not ours).  covgate --cum unions coverage across the processes;
+# the final --gate-only call applies the floor.
+rm -f /tmp/covgate_cum.json
+for f in tests/test_*.py; do
+  echo "-- $f"
+  python -m tools.covgate 0 --cum /tmp/covgate_cum.json "$f" -q
+done
+python -m tools.covgate 85 --gate-only /tmp/covgate_cum.json
 
 echo "== entry-point checks =="
 JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" python - <<'EOF'

@@ -128,6 +128,23 @@ class IndexConfig:
     # on this platform's remote compiler.  Takes precedence over
     # single_dispatch_windows when set.
     per_class_dispatch: bool = False
+    # Freeze the window's shape-class composition into a reusable TEMPLATE
+    # the first time a (scorer, k, fmt) stream is seen: each non-range
+    # class gets a fixed row capacity (first window's count x
+    # template_headroom, ceil-8) and every later window reuses the SAME
+    # jitted window program — queries that overflow a class's capacity
+    # spill into the next larger class (their extra chunk slots are dead
+    # padding: zero jobs, DMA-skipped), and only a window that overflows
+    # the whole template re-freezes it (ONE new compile instead of one
+    # per composition).  Bounds the compile-variant explosion the same
+    # way per_class_dispatch does but keeps the composed window's lower
+    # dispatch count — and merges each class's pow2 row-split spans into
+    # one exact-height dispatch (the per-dispatch fixed device cost was
+    # ~1 ms on hardware, r7 session 1c).  Windows containing term-range
+    # jobs fall back to the per-composition path (rare).
+    template_compositions: bool = False
+    # Row-capacity headroom factor when freezing a composition template.
+    template_headroom: float = 1.15
     # Issue `copy_to_host_async()` on the packed window result at submit
     # time.  The runtime enqueues the D2H transfer right behind the
     # window's execution, so it streams while the device crunches LATER

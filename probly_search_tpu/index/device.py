@@ -801,6 +801,11 @@ class DeviceIndex:
         # job table is the query's entire device-program input, so equal
         # tables imply equal results (IndexConfig.heavy_cache_min_chunks).
         self._heavy_cache: Dict[Any, Any] = {}
+        # Frozen window-composition templates (IndexConfig.
+        # template_compositions): (scorer key, k, fmt, window size) ->
+        # ordered [(nc, nj, row_capacity), ...].  See
+        # _pack_dispatches_template.
+        self._comp_templates: Dict[Any, list] = {}
 
     def _aux_rec(self, scorer):
         """Aux record array int32[4, P + C] for term-range jobs:
@@ -1291,6 +1296,83 @@ class DeviceIndex:
             has_range=has_range,
         ), fallback
 
+    # ------------------------------------------------------------------ #
+    # template manifest (pre-warm across processes)                       #
+    # ------------------------------------------------------------------ #
+
+    def save_templates(self, path: str) -> int:
+        """Write the frozen composition templates to a JSON manifest.
+
+        Together with the persistent compile cache this gives a cold
+        process a zero-traffic warmup: `load_templates` + `prewarm`
+        compiles (or cache-loads) the exact window programs the previous
+        process served, before the first query arrives (VERDICT r3
+        item 4).  Returns the number of templates written.
+        """
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {repr(k): [list(map(int, e)) for e in v]
+                 for k, v in self._comp_templates.items()},
+                f,
+            )
+        return len(self._comp_templates)
+
+    def load_templates(self, path: str) -> int:
+        """Load a template manifest written by `save_templates`."""
+        import ast
+        import json
+
+        with open(path) as f:
+            raw = json.load(f)
+        for ks, entries in raw.items():
+            self._comp_templates[ast.literal_eval(ks)] = [
+                tuple(e) for e in entries
+            ]
+        return len(raw)
+
+    def prewarm(self, scorer, fields_boost=None) -> int:
+        """Compile (or load from the persistent compile cache) the window
+        program of every frozen template matching ``scorer``, using dummy
+        all-zero job tables — program identity depends only on the static
+        class_specs, so the compiled artifact is exactly what live traffic
+        will hit.  Returns the number of programs warmed."""
+        skey = _scorer_cache_key(scorer)
+        boost = jnp.asarray(
+            np.asarray(
+                fields_boost
+                if fields_boost is not None
+                else [1.0] * self.num_fields,
+                dtype=np.float32,
+            )
+        )
+        step = _get_window_step(scorer)
+        n = 0
+        for tkey, entries in list(self._comp_templates.items()):
+            if tkey[0] != skey:
+                continue
+            _, k, fmt, _w = tkey
+            class_specs = tuple((cap, cap, nj, nc, False) for nc, nj, cap in entries)
+            total = sum(cap * nj * 3 for nc, nj, cap in entries)
+            packed = step(
+                self.rec,
+                self.field_avg,
+                boost,
+                jnp.zeros(total, jnp.int32),
+                jnp.asarray(_AUX_DUMMY),
+                chunk=self.CHUNK,
+                k=k,
+                qterm_bits=self._qterm_bits,
+                num_fields=self.num_fields,
+                class_specs=class_specs,
+                fmt=fmt,
+            )
+            np.asarray(packed)  # force compile + execute (block_until_ready
+            # does not synchronize through the axon tunnel; CLAUDE.md)
+            n += 1
+        return n
+
     @staticmethod
     def _pow2_spans(n: int, cap: int, min_pad: int = 8, min_take: int = 512):
         """Split ``n`` class rows into (take, padded_rows) spans.
@@ -1380,6 +1462,122 @@ class DeviceIndex:
                 jobs_flat[rows, pos] = plan.words[src]
                 out.append((idxs, jobs_flat.reshape(B_pad, nj * 3), nc, nj, rng))
         return out
+
+    def _pack_dispatches_template(self, n_queries: int, plan: PlannedJobs, tkey):
+        """Template-composition packing (IndexConfig.template_compositions).
+
+        Returns (dispatches, class_specs) shaped like the composed path's,
+        but with the class layout drawn from a frozen per-(scorer, k, fmt,
+        window size) TEMPLATE: fixed entry order, fixed row capacities
+        (b_pad == b_out), and ONE dispatch per class instead of pow2
+        row-split spans (the per-dispatch fixed device cost measured
+        ~1 ms, PERFORMANCE.md r7 session 1c).  Queries that overflow an
+        entry's capacity spill into the next larger eligible entry (their
+        extra chunk slots are zero jobs — dead padding, DMA-skipped);
+        only a window the whole template cannot hold re-freezes it, so a
+        steady workload compiles ONE window program instead of one per
+        composition (VERDICT r3 item 4).
+        """
+        from ..utils.metrics import metrics
+
+        C = self.CHUNK
+        nc_b = _bucket_vec(plan.nchunks, self.nc_buckets, self.nc_min)
+        nj_b = _bucket_vec(plan.njobs, self.NJ_BUCKETS, 4)
+        alive = plan.njobs > 0
+        jpos = np.zeros(n_queries, dtype=np.int64)
+        np.subtract(np.cumsum(plan.njobs), plan.njobs, out=jpos)
+
+        # Distinct live query classes, ascending (nc, nj).
+        cls = np.where(alive, (nc_b << 12) | nj_b, -1)
+        order = np.argsort(cls, kind="stable")
+        scls = cls[order]
+        start = int(np.searchsorted(scls, 0))
+        qorder, qcls = order[start:], scls[start:]
+        if len(qorder) == 0:
+            return [], ()
+        bounds = np.flatnonzero(np.r_[True, qcls[1:] != qcls[:-1], True])
+        qclasses = [
+            (
+                int(qcls[bounds[i]]) >> 12,
+                int(qcls[bounds[i]]) & 0xFFF,
+                qorder[bounds[i] : bounds[i + 1]],
+            )
+            for i in range(len(bounds) - 1)
+        ]
+
+        def try_assign(entries):
+            remaining = [cap for _, _, cap in entries]
+            buckets = [[] for _ in entries]
+            for ncq, njq, members in qclasses:
+                pos = 0
+                for ei, (nct, njt, _cap) in enumerate(entries):
+                    if nct < ncq or njt < njq:
+                        continue
+                    take = min(remaining[ei], len(members) - pos)
+                    if take:
+                        buckets[ei].append(members[pos : pos + take])
+                        remaining[ei] -= take
+                        pos += take
+                    if pos == len(members):
+                        break
+                if pos < len(members):
+                    return None
+            return buckets
+
+        entries = self._comp_templates.get(tkey)
+        buckets = try_assign(entries) if entries else None
+        if buckets is None:
+            # (Re)freeze.  Per nc class: capacity = max(current count,
+            # previous total capacity) x headroom rounded up to 8 rows
+            # (the fused kernel's row-block divisor); nj = the largest
+            # bucket seen.  Capacities only grow, so refreezes converge.
+            headroom = float(getattr(self.config, "template_headroom", 1.15))
+            need: Dict[int, int] = {}
+            njmax: Dict[int, int] = {}
+            prev_cap: Dict[int, int] = {}
+            for ncq, njq, members in qclasses:
+                need[ncq] = need.get(ncq, 0) + len(members)
+                njmax[ncq] = max(njmax.get(ncq, 0), njq)
+            for nct, njt, cap in entries or ():
+                # SUM previous caps per nc (a class can span several
+                # entries when b_cap splits it) so capacity is monotone.
+                prev_cap[nct] = prev_cap.get(nct, 0) + cap
+                njmax[nct] = max(njmax.get(nct, 0), njt)
+            entries = []
+            for nc in sorted(set(need) | set(prev_cap)):
+                # Headroom applies to the live demand; previous capacity
+                # is a floor (no headroom re-compounding across refreezes).
+                want = max(int(need.get(nc, 0) * headroom), prev_cap.get(nc, 0))
+                cap_total = -(-want // 8) * 8
+                b_cap = max(8, (self.LANES_PER_DISPATCH // (nc * C)) // 8 * 8)
+                while cap_total > 0:
+                    cap = min(cap_total, b_cap)
+                    entries.append((nc, njmax[nc], cap))
+                    cap_total -= cap
+            self._comp_templates[tkey] = entries
+            metrics.inc("template_refreezes", 1)
+            buckets = try_assign(entries)
+            if buckets is None:  # capacities were sized to cover this window
+                raise RuntimeError(
+                    f"template refreeze failed to hold its own window: {entries}"
+                )
+
+        dispatches, class_specs = [], []
+        for (nc, nj, cap), blist in zip(entries, buckets):
+            idxs = (
+                np.concatenate(blist) if blist else np.empty(0, dtype=np.int64)
+            )
+            B = len(idxs)
+            jobs_flat = np.zeros((cap, nj, 3), dtype=np.int32)
+            if B:
+                qnj = plan.njobs[idxs]
+                rows = np.repeat(np.arange(B, dtype=np.int64), qnj)
+                pos = _segment_arange(qnj)
+                src = np.repeat(jpos[idxs], qnj) + pos
+                jobs_flat[rows, pos] = plan.words[src]
+            dispatches.append((idxs, jobs_flat.reshape(cap, nj * 3), nc, nj, False))
+            class_specs.append((cap, cap, nj, nc, False))
+        return dispatches, tuple(class_specs)
 
     # ------------------------------------------------------------------ #
     # execution                                                           #
@@ -1517,8 +1715,26 @@ class DeviceIndex:
                 self, len(queries), [], host_rows=host_rows, k=k,
                 array_rows=array_rows, fmt=fmt,
             )
+        tpl_specs = None
         with metrics.timer("query/pack"):
-            dispatches = self.pack_dispatches(len(queries), plan)
+            if (
+                getattr(cfg, "template_compositions", False)
+                and cfg.single_dispatch_windows
+                and not getattr(cfg, "per_class_dispatch", False)
+                and not bool(plan.has_range.any())
+                and not bool((plan.nchunks > 2048).any())
+            ):
+                # Term-range windows and huge non-range classes (nc > 2048:
+                # their row pads must track the real query count — the
+                # remote compiler hangs on wide multi-row programs, r4)
+                # keep the per-composition path; both are rare, and the
+                # heavy-result cache absorbs most of the latter upstream.
+                tkey = (_scorer_cache_key(scorer), k, fmt, len(queries))
+                dispatches, tpl_specs = self._pack_dispatches_template(
+                    len(queries), plan, tkey
+                )
+            else:
+                dispatches = self.pack_dispatches(len(queries), plan)
         if not dispatches:
             return PendingBatch(
                 self, len(queries), [], host_rows=host_rows, k=k,
@@ -1526,7 +1742,8 @@ class DeviceIndex:
             )
         metrics.inc("dispatches", len(dispatches))
         boost_arr = jnp.asarray(np.asarray(fields_boost, dtype=np.float32))
-        dispatches.sort(key=lambda d: (d[2], d[3], d[1].shape[0]))
+        if tpl_specs is None:
+            dispatches.sort(key=lambda d: (d[2], d[3], d[1].shape[0]))
         if getattr(self.config, "per_class_dispatch", False):
             # Per-class device programs + one tiny pack program, still ONE
             # packed H2D buffer and ONE packed D2H drain.  Executions
@@ -1607,8 +1824,9 @@ class DeviceIndex:
             # Output rows per class: the real query count rounded up to a
             # coarse 256 granularity — fine enough to drop most pow-2 pad
             # rows from the D2H fetch, coarse enough to keep the number of
-            # distinct window compositions (= compiles) small.
-            class_specs = tuple(
+            # distinct window compositions (= compiles) small.  Template
+            # packing supplies its own frozen specs (b_out == capacity).
+            class_specs = tpl_specs if tpl_specs is not None else tuple(
                 (
                     jobs_flat.shape[0],
                     min(jobs_flat.shape[0], -(-len(idxs) // 256) * 256),

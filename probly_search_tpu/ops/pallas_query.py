@@ -48,6 +48,7 @@ def _query_kernel(
     NC: int,
     phase: str,
     # refs:
+    blk_live_ref,  # SMEM [1, 1] int32 — any live chunk in this row block
     c_start_ref,  # SMEM [1, ROWS, NC] int32 — 128-aligned DMA starts
     c_live_ref,  # SMEM [1, ROWS, NC] int32 — chunk has payload (DMA guard)
     c_skip_ref,  # VMEM [1, ROWS, NC] int32 — payload begins at this lane
@@ -63,6 +64,53 @@ def _query_kernel(
     vs,  # scratch VMEM [ROWS, L] f32 (merge values)
     hs,  # scratch VMEM [ROWS, L] int32 (scan heads)
     sem,  # DMA sems [ROWS, NC]
+):
+    ROWS = c_len_ref.shape[1]
+    L = NC * C
+    ow = L if phase == "lanes" else k
+
+    # Dead-block skip: class pad rows (template headroom, pow2 row pads)
+    # arrive in whole dead blocks — emit the empty-row sentinel and skip
+    # the gather + merge entirely, so row padding costs ~nothing on device
+    # (the flag is precomputed by the XLA prologue, one scalar per block).
+    @pl.when(blk_live_ref[0, 0] == 0)
+    def _dead_block():
+        out_s_ref[0, ...] = jnp.full((ROWS, ow), _NEG_INF, jnp.float32)
+        out_d_ref[0, ...] = jnp.full((ROWS, ow), -1, jnp.int32)
+
+    @pl.when(blk_live_ref[0, 0] > 0)
+    def _live_block():
+        _query_kernel_body(
+            scorer, C, k, qterm_bits, F, NC, phase,
+            c_start_ref, c_live_ref, c_skip_ref, c_len_ref, c_qterm_ref,
+            c_scale_ref, scal_ref, rec_ref, out_s_ref, out_d_ref,
+            g_ref, ks, vs, hs, sem,
+        )
+
+
+def _query_kernel_body(
+    scorer,
+    C: int,
+    k: int,
+    qterm_bits: int,
+    F: int,
+    NC: int,
+    phase: str,
+    c_start_ref,
+    c_live_ref,
+    c_skip_ref,
+    c_len_ref,
+    c_qterm_ref,
+    c_scale_ref,
+    scal_ref,
+    rec_ref,
+    out_s_ref,
+    out_d_ref,
+    g_ref,
+    ks,
+    vs,
+    hs,
+    sem,
 ):
     ROWS = c_len_ref.shape[1]
     R = rec_ref.shape[0]
@@ -283,10 +331,14 @@ def fused_query_topk(
     # The merge scratch is dead in the pre-merge phases; keep it minimal.
     sl = NC * C if phase in ("full", "sort", "scan") else 128
     c_live = (c_len > 0).astype(jnp.int32)  # scalar DMA guards (SMEM)
+    # Per-block liveness flag (dead-block skip in the kernel): a block of
+    # pure pad rows has no live chunk anywhere.
+    blk_live = c_live.reshape(G, rows * NC).max(axis=1, keepdims=True)
     out_s, out_d = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             table(pltpu.SMEM),
             table(pltpu.SMEM),
             table(pltpu.VMEM),
@@ -313,6 +365,7 @@ def fused_query_topk(
         ],
         interpret=interpret,
     )(
+        blk_live,
         r3(c_start),
         r3(c_live),
         r3(c_skip),

@@ -162,6 +162,7 @@ def _z2o_kernel(
     F: int,
     NC: int,
     # refs:
+    blk_live_ref,  # SMEM [1, 1] int32 — any live chunk in this row block
     c_start_ref,  # SMEM [1, ROWS, NC] int32 — 128-aligned DMA starts
     c_live_ref,  # SMEM [1, ROWS, NC] int32 — chunk has payload (DMA guard)
     c_skip_ref,  # VMEM [1, ROWS, NC] int32
@@ -184,6 +185,48 @@ def _z2o_kernel(
     ps,  # scratch VMEM [ROWS, L] f32 (pool accumulator / doc max)
     cs,  # scratch VMEM [ROWS, F * L] f32 (per-field contribs, F blocks)
     sem,  # DMA sems [ROWS, NC]
+):
+    ROWS = c_len_ref.shape[1]
+
+    # Dead-block skip (see ops/pallas_query.py): whole pad-row blocks emit
+    # sentinels and skip the gather + lockstep machinery entirely.
+    @pl.when(blk_live_ref[0, 0] == 0)
+    def _dead_block():
+        out_s_ref[0, ...] = jnp.full((ROWS, k), float("-inf"), jnp.float32)
+        out_d_ref[0, ...] = jnp.full((ROWS, k), -1, jnp.int32)
+
+    @pl.when(blk_live_ref[0, 0] > 0)
+    def _live_block():
+        _z2o_kernel_body(
+            C, k, F, NC, c_start_ref, c_live_ref, c_skip_ref, c_len_ref,
+            c_qterm_ref, c_score_ref, c_rank_ref, c_qlen_ref, rec_ref,
+            out_s_ref, out_d_ref, g_ref, k1s, k2s, hs, ps, cs, sem,
+        )
+
+
+def _z2o_kernel_body(
+    C: int,
+    k: int,
+    F: int,
+    NC: int,
+    c_start_ref,
+    c_live_ref,
+    c_skip_ref,
+    c_len_ref,
+    c_qterm_ref,
+    c_score_ref,
+    c_rank_ref,
+    c_qlen_ref,
+    rec_ref,
+    out_s_ref,
+    out_d_ref,
+    g_ref,
+    k1s,
+    k2s,
+    hs,
+    ps,
+    cs,
+    sem,
 ):
     ROWS = c_len_ref.shape[1]
     R = rec_ref.shape[0]
@@ -372,10 +415,12 @@ def fused_z2o_topk(
     row_block = lambda i: (i, 0, 0)
     table = lambda space: pl.BlockSpec((1, rows, NC), row_block, memory_space=space)
     c_live = (c_len > 0).astype(jnp.int32)  # scalar DMA guards (SMEM)
+    blk_live = c_live.reshape(G, rows * NC).max(axis=1, keepdims=True)
     out_s, out_d = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             table(pltpu.SMEM),
             table(pltpu.SMEM),
             table(pltpu.VMEM),
@@ -405,6 +450,7 @@ def fused_z2o_topk(
         ],
         interpret=interpret,
     )(
+        blk_live,
         r3(c_start),
         r3(c_live),
         r3(c_skip),

@@ -289,7 +289,6 @@ class TestSlotsResults:
             assert (k20[m] == ks[m]).all()
 
     def test_slots20_z2o_matches_slots(self):
-        from probly_search_tpu import zero_to_one
         from probly_search_tpu.ops.z2o_device import z2o_query_batch_async
 
         ix, vocab = self._corpus()

@@ -9,7 +9,7 @@ import random
 
 import numpy as np
 
-from probly_search_tpu import Index, bm25, zero_to_one
+from probly_search_tpu import Index, bm25
 from probly_search_tpu.index.device import DeviceIndex
 
 

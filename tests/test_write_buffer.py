@@ -12,10 +12,8 @@ fallback.
 import math
 
 import numpy as np
-import pytest
 
 from probly_search_tpu import Index, bm25, whitespace_tokenizer, zero_to_one
-from probly_search_tpu.config import IndexConfig
 from .util import tokenizer as custom_tokenizer
 
 
@@ -156,8 +154,6 @@ class TestNativeMultiCsr:
         cols = self._cols()
         nat = Index(2)
         nat.add_documents_columnar(list(range(60)), cols)
-
-        import probly_search_tpu.index.bulk as bulk_mod
 
         with monkeypatch.context() as m:
             import probly_search_tpu.native.build as nb

@@ -66,14 +66,44 @@ def report(floor_pct: float) -> int:
 
 
 def main(argv) -> int:
+    """covgate FLOOR [--cum F | --gate-only F] [pytest args...]
+
+    --cum F       run the tests, union the hit set into F, do NOT gate.
+                  The suite runs ONE FILE PER PROCESS: XLA:CPU segfaults
+                  in backend_compile_and_load once enough large programs
+                  (window compositions, the sharded window) have been
+                  compiled in one process — position-dependent, every
+                  file passes alone (r7; see ci.sh / CLAUDE.md).
+    --gate-only F no pytest; load F and gate on the accumulated union.
+    """
+    import json
+
     floor = float(argv[1])
-    pytest_args = argv[2:] or ["tests/", "-q"]
+    args = argv[2:]
+    cum = gate_only = None
+    if args and args[0] == "--cum":
+        cum, args = args[1], args[2:]
+    elif args and args[0] == "--gate-only":
+        gate_only, args = args[1], args[2:]
+    if gate_only:
+        with open(gate_only) as f:
+            _hits.update((fn, ln) for fn, ln in json.load(f))
+        return report(floor)
+    pytest_args = args or ["tests/", "-q"]
     start()
     import pytest
 
     rc = pytest.main(pytest_args)
     if rc != 0:
         return int(rc)
+    if cum:
+        if os.path.exists(cum):
+            with open(cum) as f:
+                _hits.update((fn, ln) for fn, ln in json.load(f))
+        with open(cum, "w") as f:
+            json.dump([[fn, ln] for fn, ln in _hits], f)
+        print(f"covgate: union now {len(_hits)} hits in {cum} (gate deferred)")
+        return 0
     return report(floor)
 
 

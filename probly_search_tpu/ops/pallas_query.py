@@ -48,7 +48,7 @@ def _query_kernel(
     NC: int,
     phase: str,
     # refs:
-    blk_live_ref,  # SMEM [1, 1] int32 — any live chunk in this row block
+    blk_live_ref,  # SMEM [G, 1] int32 — any live chunk per row block
     c_start_ref,  # SMEM [1, ROWS, NC] int32 — 128-aligned DMA starts
     c_live_ref,  # SMEM [1, ROWS, NC] int32 — chunk has payload (DMA guard)
     c_skip_ref,  # VMEM [1, ROWS, NC] int32 — payload begins at this lane
@@ -73,12 +73,14 @@ def _query_kernel(
     # arrive in whole dead blocks — emit the empty-row sentinel and skip
     # the gather + merge entirely, so row padding costs ~nothing on device
     # (the flag is precomputed by the XLA prologue, one scalar per block).
-    @pl.when(blk_live_ref[0, 0] == 0)
+    blk_live = blk_live_ref[pl.program_id(0), 0]
+
+    @pl.when(blk_live == 0)
     def _dead_block():
         out_s_ref[0, ...] = jnp.full((ROWS, ow), _NEG_INF, jnp.float32)
         out_d_ref[0, ...] = jnp.full((ROWS, ow), -1, jnp.int32)
 
-    @pl.when(blk_live_ref[0, 0] > 0)
+    @pl.when(blk_live > 0)
     def _live_block():
         _query_kernel_body(
             scorer, C, k, qterm_bits, F, NC, phase,
@@ -333,12 +335,15 @@ def fused_query_topk(
     c_live = (c_len > 0).astype(jnp.int32)  # scalar DMA guards (SMEM)
     # Per-block liveness flag (dead-block skip in the kernel): a block of
     # pure pad rows has no live chunk anywhere.
+    # Full [G, 1] array in SMEM, indexed by program_id in the kernel —
+    # Mosaic requires SMEM block shapes be (8,128)-divisible or equal to
+    # the whole array, and [G, 1] scalars are tiny.
     blk_live = c_live.reshape(G, rows * NC).max(axis=1, keepdims=True)
     out_s, out_d = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(blk_live.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             table(pltpu.SMEM),
             table(pltpu.SMEM),
             table(pltpu.VMEM),

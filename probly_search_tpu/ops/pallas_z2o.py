@@ -162,7 +162,7 @@ def _z2o_kernel(
     F: int,
     NC: int,
     # refs:
-    blk_live_ref,  # SMEM [1, 1] int32 — any live chunk in this row block
+    blk_live_ref,  # SMEM [G, 1] int32 — any live chunk per row block
     c_start_ref,  # SMEM [1, ROWS, NC] int32 — 128-aligned DMA starts
     c_live_ref,  # SMEM [1, ROWS, NC] int32 — chunk has payload (DMA guard)
     c_skip_ref,  # VMEM [1, ROWS, NC] int32
@@ -190,12 +190,14 @@ def _z2o_kernel(
 
     # Dead-block skip (see ops/pallas_query.py): whole pad-row blocks emit
     # sentinels and skip the gather + lockstep machinery entirely.
-    @pl.when(blk_live_ref[0, 0] == 0)
+    blk_live = blk_live_ref[pl.program_id(0), 0]
+
+    @pl.when(blk_live == 0)
     def _dead_block():
         out_s_ref[0, ...] = jnp.full((ROWS, k), float("-inf"), jnp.float32)
         out_d_ref[0, ...] = jnp.full((ROWS, k), -1, jnp.int32)
 
-    @pl.when(blk_live_ref[0, 0] > 0)
+    @pl.when(blk_live > 0)
     def _live_block():
         _z2o_kernel_body(
             C, k, F, NC, c_start_ref, c_live_ref, c_skip_ref, c_len_ref,
@@ -415,12 +417,14 @@ def fused_z2o_topk(
     row_block = lambda i: (i, 0, 0)
     table = lambda space: pl.BlockSpec((1, rows, NC), row_block, memory_space=space)
     c_live = (c_len > 0).astype(jnp.int32)  # scalar DMA guards (SMEM)
+    # Full [G, 1] array in SMEM, indexed by program_id in the kernel (see
+    # ops/pallas_query.py — Mosaic SMEM block-shape rule).
     blk_live = c_live.reshape(G, rows * NC).max(axis=1, keepdims=True)
     out_s, out_d = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(blk_live.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             table(pltpu.SMEM),
             table(pltpu.SMEM),
             table(pltpu.VMEM),

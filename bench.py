@@ -93,14 +93,18 @@ def main():
     t3 = time.time()
     log(f"device snapshot: {t3 - t2:.1f}s")
 
-    # Warmup pass: compiles every window composition this workload hits,
-    # then one pipelined pre-pass so queues/caches settle before timing.
+    # Warmup pass: compiles the stream's template program (ONE window
+    # program per (scorer, k, fmt, window) stream since template
+    # compositions became the default — r7 session 3; it was one compile
+    # per window COMPOSITION before, 450 s cold in BENCH_r03), then one
+    # pipelined pre-pass so queues/caches settle before timing.
     for w in windows:
         dix.query_batch_async(w, scorer, top_k=top_k).get_arrays()
     for w in windows:
         dix.query_batch_async(w, scorer, top_k=top_k).get_arrays()
     t4 = time.time()
-    log(f"warmup (incl. compiles): {t4 - t3:.1f}s")
+    warmup_s = t4 - t3
+    log(f"warmup (incl. compiles): {warmup_s:.1f}s")
 
     # Timed: async submission with a depth-4 pipeline and a background
     # drain thread that reads windows in PAIRS, one window late.  Submit
@@ -241,6 +245,7 @@ def main():
                 "fetch_ms_mean": phase_ms("query/fetch"),
                 "sync_window_ms": round(sync_window_ms, 1),
                 "device_ms_per_window": round(device_ms_per_window, 1),
+                "warmup_s": round(warmup_s, 1),
             }
         )
     )

@@ -56,7 +56,9 @@ def main():
     from probly_search_tpu import Index, IndexConfig, bm25
 
     per_class = "--per-class" in sys.argv
-    template = "--template" in sys.argv
+    # template_compositions defaults ON package-wide (r7 session 3);
+    # --composed opts back into per-composition window programs.
+    template = "--composed" not in sys.argv
     t0 = time.time()
     vocab, cdf, texts = make_corpus(int(1e6), 50_000, 8)
     ix = Index(

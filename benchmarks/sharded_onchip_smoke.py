@@ -67,6 +67,29 @@ def main():
         total += len(o_keys)
     recall = hits / max(total, 1)
     log(f"recall@{top_k} vs oracle on 64 queries: {recall:.4f}")
+
+    # z2o fused-kernel smoke on the real Mosaic backend (the [G,1] SMEM
+    # liveness table is shared lowering with the BM25 kernel but compiles
+    # as its own program — session 3 only exercised the BM25 side).
+    from probly_search_tpu import zero_to_one
+
+    z = zero_to_one.new()
+    dix = ix.device_index()
+    t3 = time.time()
+    _zs, zslots, zkeys = dix.query_batch_async(
+        queries[:256], z, top_k=top_k
+    ).get_arrays()
+    z2o_s = time.time() - t3
+    zhits = ztotal = 0
+    for qi in range(64):
+        oracle = ix.query(queries[qi], zero_to_one.new(), whitespace_tokenizer, [1.0])[:top_k]
+        o_keys = {r.key for r in oracle}
+        d_keys = {int(k) for k, sl in zip(zkeys[qi], zslots[qi]) if sl >= 0}
+        zhits += len(o_keys & d_keys)
+        ztotal += len(o_keys)
+    z_recall = zhits / max(ztotal, 1)
+    log(f"z2o fused window on chip: {z2o_s:.1f}s, recall {z_recall:.4f}")
+
     print(
         json.dumps(
             {
@@ -74,10 +97,13 @@ def main():
                 "recall": round(recall, 4),
                 "first_window_s": round(warm_s, 1),
                 "window_s": round(window_s, 2),
+                "z2o_onchip_recall": round(z_recall, 4),
+                "z2o_window_s": round(z2o_s, 1),
             }
         )
     )
     assert recall == 1.0, recall
+    assert z_recall == 1.0, z_recall
 
 
 if __name__ == "__main__":

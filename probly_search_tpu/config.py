@@ -142,7 +142,10 @@ class IndexConfig:
     # one exact-height dispatch (the per-dispatch fixed device cost was
     # ~1 ms on hardware, r7 session 1c).  Windows containing term-range
     # jobs fall back to the per-composition path (rare).
-    template_compositions: bool = False
+    # DEFAULT ON since r7 session 3 (hardware A/B, PERFORMANCE.md): slots
+    # bit-equal to composed, serving QPS a wash-to-slight-win, and fresh
+    # query mixes cost 0.1-0.3 s instead of a 30-120 s composition compile.
+    template_compositions: bool = True
     # Row-capacity headroom factor when freezing a composition template.
     template_headroom: float = 1.15
     # Issue `copy_to_host_async()` on the packed window result at submit

@@ -72,12 +72,12 @@ def main():
     # liveness table is shared lowering with the BM25 kernel but compiles
     # as its own program — session 3 only exercised the BM25 side).
     from probly_search_tpu import zero_to_one
+    from probly_search_tpu.ops.z2o_device import z2o_query_batch_async
 
-    z = zero_to_one.new()
     dix = ix.device_index()
     t3 = time.time()
-    _zs, zslots, zkeys = dix.query_batch_async(
-        queries[:256], z, top_k=top_k
+    _zs, zslots, zkeys = z2o_query_batch_async(
+        dix, queries[:256], whitespace_tokenizer, top_k
     ).get_arrays()
     z2o_s = time.time() - t3
     zhits = ztotal = 0

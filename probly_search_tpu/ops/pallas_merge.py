@@ -35,6 +35,20 @@ from .merge import INVALID_KEY
 _NEG_INF = float("-inf")  # plain python scalar: pallas kernels must not
 # capture traced jnp constants
 
+# Comparator-stage implementation (hardware A/B, PERFORMANCE.md r7
+# session 4):
+#   1 — symmetric predicates: is_low and is_high each computed from pos
+#       (8 vector ops for the is_high chain in _ce_selected).
+#   2 — the low-lane swap mask shifted onto the high lanes: is_high(i)
+#       is exactly is_low(i - q) and a pair's swap decision is symmetric
+#       (key[i] < key[i-q]  <=>  key[j] > key[j+q] at j = i-q), so one
+#       lane roll of the int32 mask replaces the predicate chain.
+#       Bit-exact: same comparisons, same strictness, same phantom-tail
+#       guard (carried inside the low-lane mask).
+# Read at trace time: switching requires re-tracing the kernels
+# (index.device._STEP_CACHE.clear()).
+CE_VARIANT = 2
+
 
 def _lane_iota(rows: int, L: int):
     return jax.lax.broadcasted_iota(jnp.int32, (rows, L), 1)
@@ -65,6 +79,16 @@ def _compare_exchange(key, val, pos, j: int, k: int):
     is_low = (pos & j) == 0
     pk = jnp.where(is_low, pk_l, pk_r)
     pv = jnp.where(is_low, pv_l, pv_r)
+    if CE_VARIANT == 2 and k == 0:
+        # Ascending-only stage (every merge-ladder use): the pair's swap
+        # decision is computed once at the low lane and rolled onto the
+        # high lane (partner of a low lane i is i + j under xor-pairing).
+        sl = is_low & (key > pk_l)
+        if L & (L - 1):  # phantom-tail guard: low lanes with partner >= L
+            sl = sl & ((pos | j) < L)
+        sl = sl.astype(jnp.int32)
+        pair_swap = (sl | _shift_right(sl, pos, j, 0)) > 0
+        return jnp.where(pair_swap, pk, key), jnp.where(pair_swap, pv, val)
     up = (pos & k) == 0
     key_low = jnp.where(is_low, key, pk)
     key_high = jnp.where(is_low, pk, key)
@@ -136,10 +160,17 @@ def _ce_selected(key, val, pos, q: int, group: int):
     is_low = ((pos & q) != 0) & (ingrp < group - q)
     if L & (L - 1):  # virtual pow2 space: phantom (+inf) partners never swap
         is_low = is_low & (pos + q < L)
-    prev = pos - q
-    is_high = (pos >= q) & ((prev & q) != 0) & ((prev & (group - 1)) < group - q)
     pk = jnp.where(is_low, pk_l, pk_r)
     pv = jnp.where(is_low, pv_l, pv_r)
+    if CE_VARIANT == 2:
+        # is_high(i) == is_low(i - q) and the swap decision is symmetric
+        # across the pair, so roll the low-lane mask instead of computing
+        # the is_high predicate chain (CE_VARIANT doc above).
+        sl = (is_low & (key > pk_l)).astype(jnp.int32)
+        swap = (sl | _shift_right(sl, pos, q, 0)) > 0
+        return jnp.where(swap, pk, key), jnp.where(swap, pv, val)
+    prev = pos - q
+    is_high = (pos >= q) & ((prev & q) != 0) & ((prev & (group - 1)) < group - q)
     swap = (is_low & (key > pk)) | (is_high & (key < pk))
     return jnp.where(swap, pk, key), jnp.where(swap, pv, val)
 

@@ -72,10 +72,21 @@ def _ce2(keys, vals, pos, j: int):
 
     pk1, pk2 = partner(k1), partner(k2)
     gt = (k1 > pk1) | ((k1 == pk1) & (k2 > pk2))
-    lt = (k1 < pk1) | ((k1 == pk1) & (k2 < pk2))
-    swap = (is_low & gt) | (~is_low & lt)
-    if L & (L - 1):  # phantom-tail guard, static no-op at pow2 widths
-        swap = swap & ((pos | j) < L)
+    from .pallas_merge import CE_VARIANT
+
+    if CE_VARIANT == 2:
+        # Pair-symmetric swap via the shifted low-lane mask (see
+        # pallas_merge.CE_VARIANT): high-lane lt(i) == low-lane gt(i-j).
+        sl = is_low & gt
+        if L & (L - 1):
+            sl = sl & ((pos | j) < L)
+        sl = sl.astype(jnp.int32)
+        swap = (sl | _shift_right(sl, pos, j, 0)) > 0
+    else:
+        lt = (k1 < pk1) | ((k1 == pk1) & (k2 < pk2))
+        swap = (is_low & gt) | (~is_low & lt)
+        if L & (L - 1):  # phantom-tail guard, static no-op at pow2 widths
+            swap = swap & ((pos | j) < L)
     new_keys = (jnp.where(swap, pk1, k1), jnp.where(swap, pk2, k2))
     new_vals = tuple(jnp.where(swap, partner(v), v) for v in vals)
     return new_keys, new_vals
@@ -90,16 +101,26 @@ def _ce2_selected(keys, vals, pos, q: int, group: int):
     is_low = ((pos & q) != 0) & (ingrp < group - q)
     if L & (L - 1):  # virtual pow2 space: phantom partners never swap
         is_low = is_low & (pos + q < L)
-    prev = pos - q
-    is_high = (pos >= q) & ((prev & q) != 0) & ((prev & (group - 1)) < group - q)
 
     def partner(x):
         return jnp.where(is_low, _roll(x, L - q), _roll(x, q))
 
     pk1, pk2 = partner(k1), partner(k2)
     gt = (k1 > pk1) | ((k1 == pk1) & (k2 > pk2))
-    lt = (k1 < pk1) | ((k1 == pk1) & (k2 < pk2))
-    swap = (is_low & gt) | (is_high & lt)
+    from .pallas_merge import CE_VARIANT
+
+    if CE_VARIANT == 2:
+        # is_high(i) == is_low(i - q); roll the low-lane swap mask (see
+        # pallas_merge.CE_VARIANT).
+        sl = (is_low & gt).astype(jnp.int32)
+        swap = (sl | _shift_right(sl, pos, q, 0)) > 0
+    else:
+        prev = pos - q
+        is_high = (
+            (pos >= q) & ((prev & q) != 0) & ((prev & (group - 1)) < group - q)
+        )
+        lt = (k1 < pk1) | ((k1 == pk1) & (k2 < pk2))
+        swap = (is_low & gt) | (is_high & lt)
     new_keys = (jnp.where(swap, pk1, k1), jnp.where(swap, pk2, k2))
     new_vals = tuple(jnp.where(swap, partner(v), v) for v in vals)
     return new_keys, new_vals

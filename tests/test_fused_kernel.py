@@ -162,3 +162,49 @@ def test_fetch_windows_jointly_parity():
                 assert sb is None
             else:
                 np.testing.assert_array_equal(sa, sb)
+
+
+def test_ce_variants_bit_equal():
+    """CE_VARIANT 2 (shifted low-lane swap mask) must be bit-identical to
+    the symmetric-predicate network on every merge path: run-merge ladders
+    (pow2 and phantom-tail widths), whole-row runs, and the pure bitonic
+    sort (descending-block stages keep the v1 path)."""
+    import jax.numpy as jnp
+
+    from probly_search_tpu.ops import pallas_merge as pm
+
+    rng = np.random.default_rng(0)
+    qb = 4
+    cases = [(8, 4096, 1024, 4), (8, 3072, 1024, 3), (4, 6144, 1024, 6),
+             (8, 2048, 2048, 2), (8, 512, 128, 4), (8, 1024, 0, 0)]
+    old = pm.CE_VARIANT
+    try:
+        for B, L, run, max_seg in cases:
+            if run:
+                nruns = (L + run - 1) // run
+                keys = np.zeros((B, L), np.int32)
+                for b in range(B):
+                    for r in range(nruns):
+                        n = int(rng.integers(0, run + 1))
+                        docs = np.sort(
+                            rng.choice(L * 2, size=n, replace=False)
+                        ).astype(np.int32)
+                        row = np.full(run, pm.INVALID_KEY, np.int32)
+                        lead = int(rng.integers(0, run - n + 1))
+                        row[:lead] = -1
+                        row[lead:lead + n] = (docs << qb) | int(rng.integers(0, 3))
+                        keys[b, r * run:(r + 1) * run] = row[: min(run, L - r * run)]
+            else:
+                keys = rng.integers(0, 1 << 24, size=(B, L)).astype(np.int32)
+            vals = rng.standard_normal((B, L)).astype(np.float32)
+            outs = {}
+            for v in (1, 2):
+                pm.CE_VARIANT = v
+                outs[v] = pm.merge_scores_topk_pallas(
+                    jnp.asarray(keys), jnp.asarray(vals), 10, qb,
+                    interpret=True, run=run, max_seg=max_seg,
+                )
+            np.testing.assert_array_equal(np.asarray(outs[1][0]), np.asarray(outs[2][0]))
+            np.testing.assert_array_equal(np.asarray(outs[1][1]), np.asarray(outs[2][1]))
+    finally:
+        pm.CE_VARIANT = old

@@ -21,7 +21,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from bench import log, make_corpus, make_queries  # noqa: E402
 
 WINDOWS = (2048, 4096, 8192, 16384)
-DEPTHS = (1, 2, 4)
+DEPTHS = (1, 2, 4, 6)
 N_QUERIES = 65536  # per (window, depth) section
 
 

@@ -45,9 +45,16 @@ _NEG_INF = float("-inf")  # plain python scalar: pallas kernels must not
 #       lane roll of the int32 mask replaces the predicate chain.
 #       Bit-exact: same comparisons, same strictness, same phantom-tail
 #       guard (carried inside the low-lane mask).
+# MEASURED (r7 session 4, interleaved pace A/B on chip): variant 2 is a
+# slight LOSS (50.2 vs 48.4 ms/window median) — Mosaic constant-folds the
+# iota-derived predicate chains, so variant 1's "extra ops" are free,
+# while the mask roll is real data movement.  The ladder's cost is pure
+# value movement; predicate algebra is exhausted as an optimization
+# surface.  Variant 2 stays switchable (and bit-equal by test) as the
+# recorded falsification.
 # Read at trace time: switching requires re-tracing the kernels
 # (index.device._STEP_CACHE.clear()).
-CE_VARIANT = 2
+CE_VARIANT = 1
 
 
 def _lane_iota(rows: int, L: int):

@@ -148,6 +148,32 @@ class IndexConfig:
     template_compositions: bool = True
     # Row-capacity headroom factor when freezing a composition template.
     template_headroom: float = 1.15
+    # --- serving-loop shape ------------------------------------------------
+    # Sub-window size for the BLOCKING convenience path
+    # (DeviceIndex.query_batch): batches larger than this are split into
+    # serving_window-sized windows submitted as a pipeline of depth
+    # serving_depth (plan/pack of window i+1 overlaps device compute of
+    # window i; results are identical — queries are independent).  0 =
+    # never split.  The async path (query_batch_async) is untouched:
+    # latency-sensitive servers own their window size and drain cadence;
+    # the measured QPS-vs-p50/p99 curve lives in PERFORMANCE.md (r7
+    # latency sweep) and the `low_latency()` preset encodes its knee.
+    serving_window: int = 0
+    serving_depth: int = 4
+
+    @classmethod
+    def low_latency(cls, **kw) -> "IndexConfig":
+        """Preset for latency-sensitive serving.
+
+        Encodes the knee of the measured QPS-vs-latency curve on the
+        1M-doc bench workload (PERFORMANCE.md, r7 latency sweep): smaller
+        windows at shallow pipeline depth bound per-window latency at a
+        throughput cost; the blocking path splits to the same shape.
+        """
+        kw.setdefault("serving_window", 4096)
+        kw.setdefault("serving_depth", 2)
+        return cls(**kw)
+
     # Issue `copy_to_host_async()` on the packed window result at submit
     # time.  The runtime enqueues the D2H transfer right behind the
     # window's execution, so it streams while the device crunches LATER

@@ -1591,8 +1591,34 @@ class DeviceIndex:
         fields_boost: Optional[Sequence[float]] = None,
         top_k: Optional[int] = None,
     ) -> List[List[QueryResult]]:
-        """Execute a query batch (blocking convenience over the async path)."""
-        return self.query_batch_async(queries, scorer, tokenizer, fields_boost, top_k).get()
+        """Execute a query batch (blocking convenience over the async path).
+
+        When ``IndexConfig.serving_window`` is set and the batch exceeds
+        it, the batch is split into serving_window-sized windows submitted
+        as a pipeline of depth ``serving_depth`` — host planning of window
+        i+1 overlaps device compute of window i, and per-dispatch HBM/VMEM
+        footprint is bounded by the window size.  Queries are independent,
+        so results are identical to the single-window submission.
+        """
+        sw = getattr(self.config, "serving_window", 0)
+        if not sw or len(queries) <= sw:
+            return self.query_batch_async(
+                queries, scorer, tokenizer, fields_boost, top_k
+            ).get()
+        depth = max(1, getattr(self.config, "serving_depth", 4))
+        out: List[List[QueryResult]] = []
+        inflight: List[Any] = []
+        for s in range(0, len(queries), sw):
+            inflight.append(
+                self.query_batch_async(
+                    queries[s : s + sw], scorer, tokenizer, fields_boost, top_k
+                )
+            )
+            while len(inflight) >= depth:
+                out.extend(inflight.pop(0).get())
+        for h in inflight:
+            out.extend(h.get())
+        return out
 
     def query_batch_async(
         self,

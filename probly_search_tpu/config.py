@@ -166,12 +166,14 @@ class IndexConfig:
         """Preset for latency-sensitive serving.
 
         Encodes the knee of the measured QPS-vs-latency curve on the
-        1M-doc bench workload (PERFORMANCE.md, r7 latency sweep): smaller
-        windows at shallow pipeline depth bound per-window latency at a
-        throughput cost; the blocking path splits to the same shape.
+        1M-doc bench workload (PERFORMANCE.md r7 session 6): 2048-query
+        windows at pipeline depth 4 measured p50 39.7 ms / p99 63.6 ms at
+        157.6k QPS (vs p50 ~159 ms at the 16384-window throughput shape).
+        Depth 6 trades p50 46.3 ms for 206.7k QPS; depth 1 is the fully
+        synchronous floor (p50 36.7 ms, 48k QPS).
         """
-        kw.setdefault("serving_window", 4096)
-        kw.setdefault("serving_depth", 2)
+        kw.setdefault("serving_window", 2048)
+        kw.setdefault("serving_depth", 4)
         return cls(**kw)
 
     # Issue `copy_to_host_async()` on the packed window result at submit

@@ -780,8 +780,30 @@ def _get_z2o_window_step():
 
 
 def z2o_query_batch(dix, queries, tokenizer, top_k, scorer=None):
-    """Blocking convenience over :func:`z2o_query_batch_async`."""
-    return z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=scorer).get()
+    """Blocking convenience over :func:`z2o_query_batch_async`.
+
+    Honors ``IndexConfig.serving_window`` exactly like the BM25 blocking
+    path (index/device.py DeviceIndex.query_batch): oversized batches are
+    split into pipelined sub-windows at ``serving_depth`` — identical
+    results, bounded per-dispatch footprint.
+    """
+    sw = getattr(dix.config, "serving_window", 0)
+    if not sw or len(queries) <= sw:
+        return z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=scorer).get()
+    depth = max(1, getattr(dix.config, "serving_depth", 4))
+    out = []
+    inflight = []
+    for s in range(0, len(queries), sw):
+        inflight.append(
+            z2o_query_batch_async(
+                dix, queries[s : s + sw], tokenizer, top_k, scorer=scorer
+            )
+        )
+        while len(inflight) >= depth:
+            out.extend(inflight.pop(0).get())
+    for h in inflight:
+        out.extend(h.get())
+    return out
 
 
 def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None, fmt=None):

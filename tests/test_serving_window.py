@@ -62,3 +62,13 @@ def test_no_split_below_window():
     ix, qs = _build(config=IndexConfig(serving_window=64), seed=7)
     rows = ix.device_index().query_batch(qs[:10], bm25.new(), tokenizer, top_k=5)
     assert len(rows) == 10
+
+
+def test_z2o_split_matches_single_window():
+    from probly_search_tpu.ops.z2o_device import z2o_query_batch
+
+    ix_plain, qs = _build(seed=8)
+    ix_split, _ = _build(config=IndexConfig(serving_window=8, serving_depth=2), seed=8)
+    base = z2o_query_batch(ix_plain.device_index(), qs, tokenizer, 5)
+    split = z2o_query_batch(ix_split.device_index(), qs, tokenizer, 5)
+    _rows_equal(base, split)

@@ -119,7 +119,8 @@ def main():
     challenger = min((t for t in THRESHOLDS[1:]), key=lambda t: med[t])
     if med[challenger] >= med[ship]:
         log(f"E: no challenger beats ship pace ({med}); serving A/B skipped")
-        print(json.dumps({"phase": "E", "skipped": True, "pace_median_ms": {str(t): m for t, m in med.items()}}), flush=True)
+        paces = {str(t): m for t, m in med.items()}
+        print(json.dumps({"phase": "E", "skipped": True, "pace_median_ms": paces}), flush=True)
         return
 
     from concurrent.futures import ThreadPoolExecutor

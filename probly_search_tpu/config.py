@@ -16,6 +16,12 @@ class IndexConfig:
     # --- reference-mirrored knobs -----------------------------------------
     # `Index::new_with_capacity(fields_num, expected_index_size,
     #  expected_documents_count)` — index.rs:42-60 (defaults at index.rs:38).
+    # ``expected_documents_count`` pre-sizes the doc-store arrays
+    # (index/core.py).  ``expected_index_size`` (the reference's trie-node
+    # arena capacity hint, index.rs:42-60) is accepted for constructor
+    # parity but is a documented NO-OP here: the trie was replaced by
+    # sorted-term CSR segments whose arrays are sized exactly at build time,
+    # so there is no arena to pre-size.
     expected_index_size: int = 1000
     expected_documents_count: int = 10000
 
@@ -47,8 +53,14 @@ class IndexConfig:
     # one-chunk-per-tiny-term padding that would otherwise make single-char
     # prefix queries explode.  0 disables range jobs.
     range_min_expansions: int = 64
-    # Compute dtype on device (scores); the host oracle path is always f64.
-    score_dtype: str = "float32"
+    # NOTE on dtype policy (there is deliberately NO dtype knob): device
+    # scoring/merging is fixed f32 and the host oracle path is fixed f64.
+    # The parity contract (device within 2e-5 relative of the f64 oracle
+    # with equal rankings) is part of the public surface, and the measured
+    # failure modes that shaped it — the TPU VPU's ~1e-4-relative
+    # transcendentals (PERFORMANCE.md r4) — leave no room for a lower
+    # compute precision; a bf16 lane experiment would also not cut VMEM
+    # traffic (the gathered posting record is int32 regardless).
     # Default top-k for the device query path.
     default_top_k: int = 10
     # Posting-chunk width of the device gather (lanes per DMA slice; 128 of
@@ -84,6 +96,26 @@ class IndexConfig:
         if self.result_format:
             return self.result_format
         return "compact" if self.compact_results else "f32"
+    # Block-max safe top-k pruning (index/prune.py): plan-time removal of
+    # posting chunks that provably cannot reach the requested top-k —
+    # per-chunk score upper bounds vs an achievable k-th-best threshold,
+    # the production-engine WAND/block-max machinery adapted to this
+    # engine's chunked execution model.  EXACT: surviving top-k rows are
+    # bit-equal to the unpruned window (tests/test_prune.py asserts it);
+    # pruning auto-disables wherever safety cannot be proven (k >
+    # prune_max_top_k, negative boosts, term-range queries, scorers
+    # without device_impact, non-finite field averages).  Wins are on
+    # single-term / idf-skewed queries; uniform multi-term disjunctions
+    # (the headline bench) prune ~nothing — the known weak spot of
+    # WAND-family bounds (see the prune.py module docstring).
+    prune_blocks: bool = True
+    # Relative safety margin baked into the static bounds (inflates chunk
+    # upper bounds, deflates thresholds).  Must dominate the device's f32
+    # drift vs the f64 oracle (measured <= 2e-5).
+    prune_margin: float = 1e-4
+    # Top-K ladder depth stored per job; requests with top_k above this
+    # are never pruned.
+    prune_max_top_k: int = 16
     # Heavy-query result cache: a query whose device plan spans at least
     # this many posting chunks (~0.9M postings at the default chunk width)
     # is served from a snapshot-static per-(scorer, job-table, boosts)

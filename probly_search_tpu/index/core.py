@@ -49,7 +49,11 @@ bugs this engine chooses not to reproduce):
   expansions of one term in a multi-term query AND a later-visited expansion
   outscores the accumulated total, where the reference's own answer is
   order-dependent.  The canonical rule is order-independent, which is what
-  makes the massively-parallel device merge well-defined.
+  makes the massively-parallel device merge well-defined.  WITNESS TEST:
+  ``tests/test_merge_rule.py`` constructs exactly that divergent corpus,
+  pins this engine's canonical answer on both the host and device paths,
+  and computes the literal fold for both visit orders to demonstrate that
+  the reference's own answer is order-dependent there.
 """
 
 from __future__ import annotations
@@ -89,6 +93,12 @@ class Index:
     Mirrors ``Index::new`` / ``new_with_capacity`` (index.rs:37-60),
     ``add_document`` (index.rs:77), ``remove_document`` (index.rs:161),
     ``vacuum`` (index.rs:194) and ``query`` (query.rs:21).
+
+    Capacity hints: ``expected_documents_count`` pre-sizes the doc-store
+    arrays (``_doc_len`` / ``_alive``).  ``expected_index_size`` — the
+    reference's trie-node arena capacity (index.rs:42-60) — is accepted for
+    constructor parity but is a documented no-op: segments size their CSR
+    arrays exactly at build time (see config.py).
     """
 
     def __init__(

@@ -550,11 +550,15 @@ def _class_step_impl(
 ):
     """One shape class sliced out of the window's packed job buffer.
 
-    ``off`` is a TRACED scalar (no retrace per window composition): the
-    program is keyed on the class shape alone, so a drifting workload
-    compiles O(distinct class shapes) programs, not O(window compositions)
-    — the per-class analogue of `_window_step_impl` (IndexConfig.
-    per_class_dispatch)."""
+    ``off`` is a TRACED scalar and ``words_flat`` is padded to a BUCKETED
+    (power-of-two) length by the caller, so the jit cache key is (class
+    statics, bucketed buffer length) — without the bucketing, every new
+    window composition would change ``words_flat.shape`` and silently
+    retrace/recompile every class program, defeating the mode's stated
+    compile economics (advisor finding, round 4).  A drifting workload
+    therefore compiles O(distinct class shapes x buffer buckets) programs,
+    not O(window compositions) — the per-class analogue of
+    `_window_step_impl` (IndexConfig.per_class_dispatch)."""
     n = b_pad * nj * 3
     jobs_flat = jax.lax.dynamic_slice(words_flat, (off,), (n,))
     return _query_step_impl(
@@ -655,6 +659,10 @@ class PlannedJobs:
     nchunks: np.ndarray  # int64[B] — total chunks per query
     njobs: np.ndarray  # int64[B]
     has_range: np.ndarray  # bool[B] — query carries a term-range job
+    # Term-plan pool row per job (indexes the pooled static bound arrays;
+    # block-max pruning, index/prune.py).  None when the plan's pool rows
+    # are unknown (pruning then no-ops).
+    pool_rows: Optional[np.ndarray] = None
 
 
 class DeviceIndex:
@@ -761,6 +769,15 @@ class DeviceIndex:
         R = 4 if (2 + 2 * F) <= 4 else -(-(2 + 2 * F) // 8) * 8
         rec = np.zeros((R, P + C), dtype=np.int32)
         rec[0] = -1  # slack tail: never in any job's payload range
+        # Snapshot copies for block-max pruning bounds (index/prune.py):
+        # bounds are built LAZILY per scorer, and index._doc_len/_alive
+        # mutate (vacuum compacts them) — a stale DeviceIndex handle must
+        # read its own snapshot, like rec does.
+        self._post_doc_all = self._post_tf_all = None
+        self._doc_len_snap = self._alive_snap = None
+        self._field_avg_host = np.array(
+            [fd.avg for fd in index._fields], dtype=np.float64
+        )
         if P:
             post_doc = np.concatenate(doc_parts)
             post_tf = np.concatenate(tf_parts)
@@ -770,6 +787,11 @@ class DeviceIndex:
             rec[1 : 1 + F, :P] = post_tf.T
             rec[1 + F : 1 + 2 * F, :P] = doc_len[post_doc].view(np.int32).T
             rec[1 + 2 * F, :P] = alive[post_doc]
+            if getattr(index.config, "prune_blocks", True):
+                self._post_doc_all = post_doc
+                self._post_tf_all = post_tf
+                self._alive_snap = alive.copy()
+                self._doc_len_snap = index._doc_len[:S].copy()
         self.rec = jnp.asarray(rec)
         self.field_avg = jnp.asarray(
             np.array([fd.avg for fd in index._fields], dtype=np.float32)
@@ -888,6 +910,23 @@ class DeviceIndex:
                 "over_cap": np.zeros(0, dtype=bool),  # per term
                 "range": np.zeros(0, dtype=bool),  # per job: term-range job
             }
+            # Block-max pruning bounds ride along per job (index/prune.py).
+            # The decision is frozen at pool creation so every pool row has
+            # a bounds row (a mid-life config flip must not misalign them).
+            if (
+                getattr(self.config, "prune_blocks", True)
+                and hasattr(scorer, "device_impact")
+                and self._post_tf_all is not None
+                and np.isfinite(self._field_avg_host).all()
+            ):
+                k_cap = int(getattr(self.config, "prune_max_top_k", 16))
+                pool["prune_enabled"] = True
+                pool["prune_ub"] = np.zeros((0, self.num_fields), np.float32)
+                pool["prune_topv"] = np.zeros(
+                    (0, self.num_fields, k_cap), np.float32
+                )
+                pool["prune_cub_off"] = np.zeros(0, np.int64)  # start per job
+                pool["prune_cub"] = np.zeros((0, self.num_fields), np.float32)
             self._plan_pools[_scorer_cache_key(scorer)] = pool
         ids = pool["ids"]
         miss = [t for t in uniq_terms if t not in ids]
@@ -1082,6 +1121,30 @@ class DeviceIndex:
             jidx, weights=job_chunks.astype(np.float64), minlength=M
         ).astype(np.int64) if len(jidx) else np.zeros(M, dtype=np.int64)
 
+        if pool.get("prune_enabled"):
+            from .prune import build_job_bounds
+
+            b = build_job_bounds(
+                self,
+                scorer,
+                np.asarray(jstart, np.int64),
+                np.asarray(jlen, np.int64),
+                np.asarray(jrange, bool),
+                C_,
+                int(getattr(cfg, "prune_max_top_k", 16)),
+                float(getattr(cfg, "prune_margin", 1e-4)),
+            )
+            assert b is not None  # gating matched at pool creation
+            pool["prune_ub"] = np.concatenate([pool["prune_ub"], b["ub"]])
+            pool["prune_topv"] = np.concatenate([pool["prune_topv"], b["topv"]])
+            pool["prune_cub_off"] = np.concatenate(
+                [
+                    pool["prune_cub_off"],
+                    b["cub_off"][:-1] + len(pool["prune_cub"]),
+                ]
+            )
+            pool["prune_cub"] = np.concatenate([pool["prune_cub"], b["cub"]])
+
         base = len(pool["off"]) - 1
         for i, t in enumerate(miss):
             ids[str(t)] = base + i
@@ -1147,12 +1210,14 @@ class DeviceIndex:
                 return None, fallback
             jquery = np.repeat(np.arange(B, dtype=np.int64), nj)
             rows = np.repeat(qp["off"][qids], nj) + _segment_arange(nj)
+            prows = qp["pool_rows"][rows]
             return PlannedJobs(
                 jquery=jquery,
                 words=qp["words"][rows],
                 nchunks=qp["nchunks"][qids],
                 njobs=nj,
                 has_range=qp["has_range"][qids],
+                pool_rows=None if (prows < 0).any() else prows,
             ), fallback
 
     def _qplan_pool(self, scorer, tokenizer):
@@ -1170,6 +1235,9 @@ class DeviceIndex:
                 "njobs": np.zeros(0, dtype=np.int64),
                 "has_range": np.zeros(0, dtype=bool),
                 "fallback": np.zeros(0, dtype=bool),
+                # Term-pool row per pooled job (block-max pruning bounds
+                # alignment, index/prune.py); -1 when unknown.
+                "pool_rows": np.zeros(0, dtype=np.int64),
             }
             self._qplan_pools[key] = qp
         return qp
@@ -1187,11 +1255,17 @@ class DeviceIndex:
             words_m = np.zeros((0, 3), dtype=np.int32)
             nch_m = np.zeros(M, dtype=np.int64)
             rng_m = np.zeros(M, dtype=bool)
+            prows_m = np.zeros(0, dtype=np.int64)
         else:
             nj_m = plan.njobs
             words_m = plan.words
             nch_m = plan.nchunks
             rng_m = plan.has_range
+            prows_m = (
+                plan.pool_rows
+                if plan.pool_rows is not None
+                else np.full(len(words_m), -1, dtype=np.int64)
+            )
         base = len(qp["off"]) - 1
         for i, q in enumerate(miss):
             qp["ids"][q] = base + i
@@ -1203,6 +1277,7 @@ class DeviceIndex:
         qp["njobs"] = np.concatenate([qp["njobs"], nj_m])
         qp["has_range"] = np.concatenate([qp["has_range"], rng_m])
         qp["fallback"] = np.concatenate([qp["fallback"], fb_m])
+        qp["pool_rows"] = np.concatenate([qp["pool_rows"], prows_m])
 
     def _plan_batch_impl(self, queries: Sequence[str], tokenizer, scorer):
         B = len(queries)
@@ -1283,7 +1358,7 @@ class DeviceIndex:
         if len(over_lanes):
             fallback.extend(int(q) for q in over_lanes)
             keep = ~np.isin(jquery, over_lanes)
-            jquery, words = jquery[keep], words[keep]
+            jquery, words, rows = jquery[keep], words[keep], rows[keep]
             nchunks[over_lanes] = 0
             njobs = np.bincount(jquery, minlength=B)
             if len(jquery) == 0:
@@ -1294,6 +1369,7 @@ class DeviceIndex:
             nchunks=nchunks,
             njobs=njobs.astype(np.int64),
             has_range=has_range,
+            pool_rows=rows,
         ), fallback
 
     # ------------------------------------------------------------------ #
@@ -1308,16 +1384,36 @@ class DeviceIndex:
         compiles (or cache-loads) the exact window programs the previous
         process served, before the first query arrives (VERDICT r3
         item 4).  Returns the number of templates written.
+
+        Cross-process prewarm needs a STABLE scorer key: templates whose
+        scorer lacks ``device_cache_key`` are keyed ``('id', id(scorer))``
+        — meaningless in another process — so they are skipped here with a
+        warning (they would never match at ``prewarm`` time and a silent
+        0-program warm is worse than a loud skip; advisor finding, r4).
         """
         import json
+        import warnings
 
+        kept = {
+            k: v
+            for k, v in self._comp_templates.items()
+            if not (isinstance(k[0], tuple) and k[0] and k[0][0] == "id")
+        }
+        if len(kept) < len(self._comp_templates):
+            warnings.warn(
+                "save_templates: skipped "
+                f"{len(self._comp_templates) - len(kept)} template(s) whose "
+                "scorer has no device_cache_key (process-local ('id', ...) "
+                "keys cannot prewarm another process)",
+                stacklevel=2,
+            )
         with open(path, "w") as f:
             json.dump(
                 {repr(k): [list(map(int, e)) for e in v]
-                 for k, v in self._comp_templates.items()},
+                 for k, v in kept.items()},
                 f,
             )
-        return len(self._comp_templates)
+        return len(kept)
 
     def load_templates(self, path: str) -> int:
         """Load a template manifest written by `save_templates`."""
@@ -1732,10 +1828,27 @@ class DeviceIndex:
                         nchunks=nchunks2,
                         njobs=np.bincount(jq2, minlength=len(queries)),
                         has_range=plan.has_range,
+                        pool_rows=(
+                            plan.pool_rows[keep]
+                            if plan.pool_rows is not None
+                            else None
+                        ),
                     )
                     if len(jq2)
                     else None
                 )
+        # Block-max safe top-k pruning (index/prune.py): drop posting
+        # chunks that provably cannot reach this request's top-k.  Runs
+        # AFTER the heavy-result splice so heavy-cache keys stay pruning-
+        # independent; exact — surviving top-k rows are bit-equal
+        # (tests/test_prune.py).
+        if plan is not None and getattr(cfg, "prune_blocks", True):
+            pool = self._plan_pools.get(_scorer_cache_key(scorer))
+            if pool is not None and pool.get("prune_enabled"):
+                from .prune import prune_plan
+
+                with metrics.timer("query/prune"):
+                    plan = prune_plan(self, plan, pool, k, fields_boost)
         if plan is None:
             return PendingBatch(
                 self, len(queries), [], host_rows=host_rows, k=k,
@@ -1797,11 +1910,16 @@ class DeviceIndex:
             )
             dummy_aux = jnp.asarray(_AUX_DUMMY)
             with metrics.timer("query/h2d"):
-                words_flat = jnp.asarray(
-                    np.concatenate(
-                        [jf.reshape(-1) for _, jf, _, _, _ in dispatches]
-                    )
+                words_np = np.concatenate(
+                    [jf.reshape(-1) for _, jf, _, _, _ in dispatches]
                 )
+                # Pad the packed H2D buffer to a pow2 bucket so the class
+                # programs' jit keys — (class statics, buffer length) — do
+                # not vary per window composition (see _class_step_impl).
+                want = max(1024, 1 << (len(words_np) - 1).bit_length())
+                if want > len(words_np):
+                    words_np = np.pad(words_np, (0, want - len(words_np)))
+                words_flat = jnp.asarray(words_np)
             cstep = _get_class_step(scorer)
             ss, ds, b_outs = [], [], []
             off = 0

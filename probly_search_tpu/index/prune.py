@@ -1,0 +1,305 @@
+"""Block-max safe top-k pruning (plan-time, exact).
+
+The classic exact-top-k machinery of production BM25 engines (block-max
+upper bounds, WAND/MaxScore-family thresholds) applied to this engine's
+execution model.  The reference scores EVERY live posting
+(`/root/reference/src/query.rs:61-89`); this engine's device cost is ~linear
+in gathered lanes (PERFORMANCE.md r5 s11), so dropping posting chunks that
+provably cannot reach the top-k cuts device time with zero result change.
+
+Everything happens on the HOST at plan time — the device programs are
+untouched; pruning only shrinks/splits the job descriptors they receive.
+
+Static metadata (built once per (snapshot, scorer) in the term-plan pool,
+see DeviceIndex._term_plans):
+
+* ``ub``      f32[NJOBS, F]        — per-job max per-field IMPACT over live
+  postings, inflated by ``(1 + margin)``.  Impact is the scorer's per-
+  posting, per-field score factor with idf/boost divided out — for BM25 the
+  tf-norm of bm25.rs:71-87 (``BM25.device_impact``).
+* ``topv``    f32[NJOBS, F, K_CAP] — per-job DESCENDING top-K_CAP impacts
+  per field (live postings), deflated by ``(1 - margin)``.
+* ``cub_off`` int64[NJOBS + 1] and ``cub`` f32[TOTCHUNKS, F] — per-CHUNK
+  max impact (the chunk decomposition is the engine's stride-C scheme off
+  the job's 128-aligned base, exactly matching _query_step_impl), inflated.
+
+Prune rule (per query q with terms t1..tm, requested top-k, boosts >= 0):
+
+* threshold  ``tau(q) = max over jobs e of scale_e * max_f boost_f *
+  topv_e[f, k-1]`` — ACHIEVABLE: job e's k best field-f postings are k
+  distinct live docs whose totals are each >= that value (every other
+  contribution is >= 0), so the true k-th best total >= tau.
+* term bound ``UB(t) = max over t's jobs of scale_e * sum_f boost_f *
+  ub_e[f]`` — no doc's term-t contribution exceeds it.
+* prune chunk c of term t iff
+  ``scale_e * sum_f boost_f * cub_c[f]  +  sum_{t' != t} UB(t')  <  tau(q)``.
+
+SAFETY (tested, tests/test_prune.py): a doc whose term-t MAX lane sits in a
+pruned chunk has total <= lhs < tau <= k-th best, so it is strictly below
+every top-k row under any tie order; a doc with total >= tau keeps its max
+lane for every term (else the rule above is contradicted), so its computed
+total — max within term over the surviving lanes, then sum — is unchanged
+VALUE-FOR-VALUE and the surviving top-k rows are bit-equal to the unpruned
+window's.  Bounds are computed in f64 with a ``margin`` (default 1e-4,
+IndexConfig.prune_margin) that dominates both the device's measured <= 2e-5
+relative f32 drift and the f64-vs-f32 scale-word rounding.
+
+Pruning is DISABLED (per call or per query) whenever safety cannot be
+proven: k > IndexConfig.prune_max_top_k, any negative field boost, scorers
+without ``device_impact`` (e.g. zero-to-one), queries carrying term-range
+jobs, or a snapshot with non-finite field averages.  The sharded engine
+(parallel/dist_query.py) does not prune yet — its per-shard plans would
+need per-shard bounds.
+
+Workload note (honest): on the 1M-doc headline bench (3-term Zipf queries,
+uniform 8-token docs) the disjunctive bound ``sum UB(t')`` is far above any
+tau, so ~nothing prunes — multi-term disjunctions over same-magnitude-idf
+terms are the known weak spot of WAND-family bounds.  The wins are on
+single-term and idf-skewed queries (benchmarks/prune_probe.py records
+them), which is exactly where the reference-equivalent engines spend their
+block-max machinery too.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _segment_arange(counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - counts, counts)
+    return out
+
+
+def build_job_bounds(
+    dix,
+    scorer,
+    jstart: np.ndarray,
+    jlen: np.ndarray,
+    jrange: np.ndarray,
+    chunk: int,
+    k_cap: int,
+    margin: float,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Compute the static bound arrays for a batch of FINAL job rows.
+
+    Returns dict(ub, topv, cub_off, cub) aligned with the job rows, or
+    ``None`` when the scorer/snapshot cannot support pruning.  Range jobs
+    get zeroed ``ub``/``topv`` and ZERO chunk rows (queries carrying them
+    are never pruned).
+    """
+    impact_fn = getattr(scorer, "device_impact", None)
+    avg = np.asarray(dix._field_avg_host, dtype=np.float64)
+    if impact_fn is None or not np.isfinite(avg).all():
+        return None
+    J = len(jstart)
+    F = dix.num_fields
+    C = chunk
+    ub = np.zeros((J, F), dtype=np.float32)
+    topv = np.full((J, F, k_cap), -np.inf, dtype=np.float32)
+    nreal = np.where(
+        jrange, 0, np.where(jlen > 0, (jstart % 128 + jlen + C - 1) // C, 0)
+    ).astype(np.int64)
+    cub_off = np.zeros(J + 1, dtype=np.int64)
+    np.cumsum(nreal, out=cub_off[1:])
+    cub = np.zeros((int(cub_off[-1]), F), dtype=np.float32)
+    sel = np.flatnonzero(~jrange & (jlen > 0))
+    if len(sel) == 0:
+        return {"ub": ub, "topv": topv, "cub_off": cub_off, "cub": cub}
+
+    # Flat posting rows of the selected jobs (jobs never cross segments).
+    s_start = jstart[sel]
+    s_len = jlen[sel]
+    flat = np.repeat(s_start, s_len) + _segment_arange(s_len)
+    jobflat = np.repeat(np.arange(len(sel), dtype=np.int64), s_len)
+
+    # Per-posting impact over the SNAPSHOT arrays (immutable segments +
+    # the __init__-time copies of alive/doc_len — a later vacuum must not
+    # leak into a stale snapshot's bounds).
+    tf = dix._post_tf_all[flat].astype(np.float64)
+    doc = dix._post_doc_all[flat]
+    flen = dix._doc_len_snap[doc].astype(np.float64)
+    imp = np.asarray(impact_fn(tf, flen, avg), dtype=np.float64)
+    imp[~dix._alive_snap[doc]] = 0.0  # dead lanes never score
+
+    # Chunk boundaries in the flat array: the stride-C scheme's chunk w of
+    # job j starts at global posting max(jstart, base + w*C).
+    base = (s_start // 128) * 128
+    njc = nreal[sel]
+    w = _segment_arange(njc)
+    jc = np.repeat(np.arange(len(sel), dtype=np.int64), njc)
+    fs = np.zeros(len(sel), dtype=np.int64)
+    np.subtract(np.cumsum(s_len), s_len, out=fs)
+    bnd = fs[jc] + np.maximum(base[jc] + w * C - s_start[jc], 0)
+    up = 1.0 + margin
+    rank = _segment_arange(s_len)  # within-job position (flat OR sorted —
+    # the sorted stream keeps jobs grouped with unchanged sizes)
+    take = rank < k_cap
+    for f in range(F):
+        col = imp[:, f]
+        cub[np.repeat(cub_off[sel], njc) + w, f] = np.maximum.reduceat(
+            col, bnd
+        ) * up
+        # Per-job max + descending top-K (one integer-keyed sort).
+        order = np.lexsort((-col, jobflat))
+        ub[sel, f] = np.maximum.reduceat(col, fs) * up
+        tv = np.full((len(sel), k_cap), -np.inf, dtype=np.float64)
+        tv[jobflat[order][take], rank[take]] = col[order][take] * (1.0 - margin)
+        topv[sel, f, :] = tv.astype(np.float32)
+    return {"ub": ub, "topv": topv, "cub_off": cub_off, "cub": cub}
+
+
+def prune_plan(dix, plan, pool, k: int, fields_boost) -> Any:
+    """Apply block-max pruning to a planned batch.  Returns the (possibly)
+    pruned PlannedJobs; the input plan is never mutated.  See module
+    docstring for the rule and its safety argument."""
+    from ..utils.metrics import metrics
+    from .device import _LEN_BITS, _MAX_JOB_LEN, _QT_BITS, PlannedJobs
+
+    cfg = dix.config
+    k_cap = int(getattr(cfg, "prune_max_top_k", 16))
+    if (
+        plan is None
+        or plan.pool_rows is None
+        or pool is None
+        or "prune_ub" not in pool
+        or k > k_cap
+        or k < 1
+    ):
+        return plan
+    boosts = np.asarray(fields_boost, dtype=np.float64)
+    if (boosts < 0).any() or len(boosts) != dix.num_fields:
+        return plan
+
+    rows = plan.pool_rows
+    jq = plan.jquery
+    B = len(plan.njobs)
+    C = dix.CHUNK
+    words = plan.words
+    jqterm = (words[:, 1] >> _LEN_BITS) & ((1 << _QT_BITS) - 1)
+    is_rng = ((words[:, 1] >> 30) & 1) > 0
+    scale = words[:, 2].view(np.float32).astype(np.float64)
+
+    # Per-job weighted bounds (f64; the pooled arrays carry the margin).
+    ubw = (pool["prune_ub"][rows].astype(np.float64) * boosts).sum(axis=1) * scale
+    kth = pool["prune_topv"][rows, :, k - 1].astype(np.float64)  # [J, F]
+    # -inf marks "fewer than k live postings in this job/field"; keep it
+    # -inf under a zero boost too (-inf * 0 would be nan).
+    kthw = np.where(kth == -np.inf, -np.inf, kth * boosts)
+    tau_job = kthw.max(axis=1) * scale
+
+    # (query, qterm) runs are contiguous (jobs are assembled per term in
+    # token order) — reduceat segments give UB(t) and then per-query sums.
+    gkey = jq * (1 << _QT_BITS) + jqterm
+    heads = np.ones(len(jq), dtype=bool)
+    heads[1:] = gkey[1:] != gkey[:-1]
+    hidx = np.flatnonzero(heads)
+    ub_t = np.maximum.reduceat(ubw, hidx)  # per (q, qterm)
+    tq = jq[hidx]
+    S_q = np.bincount(tq, weights=ub_t, minlength=B)
+    qheads = np.ones(len(jq), dtype=bool)
+    qheads[1:] = jq[1:] != jq[:-1]
+    qh = np.flatnonzero(qheads)
+    tau_q = np.full(B, -np.inf)
+    tau_q[jq[qh]] = np.maximum.reduceat(tau_job, qh)
+
+    prunable_q = (tau_q > 0) & np.isfinite(tau_q) & ~plan.has_range
+    test_j = prunable_q[jq] & ~is_rng
+    if not test_j.any():
+        return plan
+    # Spread UB(t) back to jobs to form "other terms" slack per job.
+    ub_t_job = np.repeat(ub_t, np.diff(np.r_[hidx, len(jq)]))
+    other = S_q[jq] - ub_t_job
+
+    # Chunk test for testable jobs.
+    jlen_all = (words[:, 1] & _MAX_JOB_LEN).astype(np.int64)
+    njc_all = np.where(
+        jlen_all > 0,
+        ((words[:, 0].astype(np.int64) % 128) + jlen_all + C - 1) // C,
+        0,
+    )
+    keep = np.ones(int(njc_all.sum()), dtype=bool)
+    coff = np.zeros(len(njc_all) + 1, dtype=np.int64)
+    np.cumsum(njc_all, out=coff[1:])
+
+    tj = np.flatnonzero(test_j)
+    ncj = njc_all[tj]
+    pj = np.repeat(tj, ncj)  # plan-job index per tested chunk
+    w = _segment_arange(ncj)
+    crows = np.repeat(pool["prune_cub_off"][rows[tj]], ncj) + w
+    cubw = (pool["prune_cub"][crows].astype(np.float64) * boosts).sum(axis=1)
+    lhs = cubw * scale[pj] + other[pj]
+    drop = lhs < tau_q[jq[pj]]
+    if not drop.any():
+        return plan
+    keep[np.repeat(coff[tj], ncj) + w] = ~drop
+
+    # ---- rebuild jobs from kept-chunk runs --------------------------- #
+    jobflat = np.repeat(np.arange(len(njc_all), dtype=np.int64), njc_all)
+    wall = _segment_arange(njc_all)
+    same_job_prev = np.zeros(len(jobflat), dtype=bool)
+    same_job_prev[1:] = jobflat[1:] == jobflat[:-1]
+    prev_keep = np.zeros(len(keep), dtype=bool)
+    prev_keep[1:] = keep[:-1]
+    starts = keep & ~(same_job_prev & prev_keep)
+    same_job_next = np.zeros(len(jobflat), dtype=bool)
+    same_job_next[:-1] = jobflat[1:] == jobflat[:-1]
+    next_keep = np.zeros(len(keep), dtype=bool)
+    next_keep[:-1] = keep[1:]
+    ends = keep & ~(same_job_next & next_keep)
+
+    rj = jobflat[starts]
+    w_first = wall[starts]
+    w_last = wall[ends]
+    jstart = words[:, 0].astype(np.int64)
+    jlen = (words[:, 1] & _MAX_JOB_LEN).astype(np.int64)
+    base = (jstart // 128) * 128
+    new_start = np.where(w_first == 0, jstart[rj], base[rj] + w_first * C)
+    new_end = np.minimum(jstart[rj] + jlen[rj], base[rj] + (w_last + 1) * C)
+    new_len = new_end - new_start
+
+    # Jobs with zero chunks (range jobs; zero-length) pass through verbatim
+    # — splice them back in query-sorted job order.
+    zero_j = np.flatnonzero(njc_all == 0)
+    if len(zero_j):
+        order = np.argsort(
+            np.concatenate([rj, zero_j]), kind="stable"
+        )
+        rj2 = np.concatenate([rj, zero_j])[order]
+        new_start = np.concatenate([new_start, jstart[zero_j]])[order]
+        new_len = np.concatenate([new_len, jlen[zero_j]])[order]
+        w_span = np.concatenate([w_last - w_first + 1, np.zeros(len(zero_j), np.int64)])[order]
+        rj = rj2
+    else:
+        w_span = w_last - w_first + 1
+
+    words2 = np.empty((len(rj), 3), dtype=np.int32)
+    words2[:, 0] = new_start
+    words2[:, 1] = (
+        new_len
+        | (jqterm[rj].astype(np.int64) << _LEN_BITS)
+        | (is_rng[rj].astype(np.int64) << 30)
+    ).astype(np.int32)
+    words2[:, 2] = words[rj, 2]
+    jq2 = jq[rj]
+    njobs2 = np.bincount(jq2, minlength=B).astype(np.int64)
+    nchunks2 = np.bincount(jq2, weights=w_span.astype(np.float64), minlength=B).astype(
+        np.int64
+    )
+
+    metrics.inc("prune/pruned_chunks", int(njc_all.sum() - w_span.sum()))
+    metrics.inc("prune/pruned_jobs", int(len(words) - len(words2)))
+    return PlannedJobs(
+        jquery=jq2,
+        words=words2,
+        nchunks=nchunks2,
+        njobs=njobs2,
+        has_range=plan.has_range,
+        pool_rows=rows[rj],
+    )

@@ -47,7 +47,12 @@ def _serve(ix, queries, k=10):
 class TestPerClassDispatch:
     def test_formats_match_composed(self):
         for fmt in ("f32", "compact", "slots", "slots20"):
-            ix, queries = _build(fmt)
+            # Force the actual composed `_window_step_impl` baseline:
+            # template_compositions defaults ON, which would otherwise be
+            # the "base" side of this equality (advisor finding, round 4).
+            ix, queries = _build(
+                fmt, template_compositions=False, per_class_dispatch=False
+            )
             base = _serve(ix, queries)
             # The mode flag is read per query_batch_async call off the
             # shared config object — the cached DeviceIndex picks it up.
@@ -71,6 +76,32 @@ class TestPerClassDispatch:
             assert [r.key for r in row] == [r.key for r in want], q
             for a, b in zip(row, want):
                 np.testing.assert_allclose(a.score, b.score, rtol=2e-5, atol=1e-6)
+
+    def test_words_buffer_bucketing_no_retrace(self):
+        # The packed H2D buffer is padded to a pow2 bucket, so a class
+        # program's jit key does not change when ANOTHER class joins the
+        # window (advisor finding, r4: unbucketed words_flat length
+        # retraced every class program per composition).  Window 2 adds a
+        # new nc class; the shared class's program must be reused — the
+        # cache grows by exactly the one new class shape.
+        from probly_search_tpu.index import device as dev
+
+        texts = ["a x", "b c y", "d q", "e r", "f s", "g t"]
+        ix = Index(
+            1, config=IndexConfig(result_format="f32", per_class_dispatch=True)
+        )
+        ix.add_documents_columnar(list(range(len(texts))), [texts])
+        dix = ix.device_index()
+        scorer = bm25.new()
+        dix.query_batch_async(["a", "b c"], scorer, top_k=5).get_arrays()
+        cstep = dev._get_class_step(scorer)
+        n = cstep._cache_size()
+        # Same two queries plus a 4-term one: the nc-2 class statics are
+        # unchanged and the words buffer stays in the same 1024 bucket.
+        dix.query_batch_async(
+            ["a", "b c", "d e f g"], scorer, top_k=5
+        ).get_arrays()
+        assert cstep._cache_size() == n + 1
 
     def test_compile_economics_counter(self):
         # The per-class mode must not grow _STEP_CACHE per window: two

@@ -48,7 +48,12 @@ def _serve(ix, queries, k=10):
 class TestTemplateCompositions:
     def test_formats_match_composed(self):
         for fmt in ("f32", "compact", "slots", "slots20"):
-            ix, queries = _build(fmt)
+            # template_compositions defaults ON — the baseline must force
+            # the per-composition composed path or this compares the
+            # template path to itself (advisor finding, round 4).
+            ix, queries = _build(
+                fmt, template_compositions=False, per_class_dispatch=False
+            )
             base = _serve(ix, queries)
             ix.config.template_compositions = True
             tpl = _serve(ix, queries)
@@ -141,6 +146,30 @@ class TestTemplateCompositions:
         assert metrics.counters["template_refreezes"] == before
         for a, b in zip(rows, want):
             assert [r.key for r in a] == [r.key for r in b]
+
+    def test_save_templates_skips_process_local_scorer_keys(self, tmp_path):
+        # A scorer without device_cache_key freezes templates under a
+        # process-local ('id', ...) key; saving those would make prewarm
+        # silently warm 0 programs in the next process — save_templates
+        # skips them with a warning instead (advisor finding, r4).
+        import warnings as _warnings
+
+        from probly_search_tpu.models.bm25 import BM25
+
+        class _NoKey(BM25):
+            device_cache_key = None  # -> ('id', id(scorer)) cache key
+
+        texts, queries = _corpus(with_prefixes=False)
+        ix = Index(1, config=IndexConfig(template_compositions=True))
+        ix.add_documents_columnar(list(range(len(texts))), [texts])
+        dix = ix.device_index()
+        dix.query_batch(queries[:16], _NoKey(), top_k=5)
+        assert len(dix._comp_templates) == 1
+        path = str(tmp_path / "t.json")
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            assert dix.save_templates(path) == 0
+        assert any("device_cache_key" in str(x.message) for x in w)
 
     def test_window_sizes_key_separate_templates(self):
         texts, queries = _corpus(with_prefixes=False)

@@ -57,15 +57,31 @@ def main():
     top_k = 10
     pipeline_depth = 4  # 2 pairs in flight (paired late drains; see below)
 
+    import threading
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    log(f"devices: {jax.devices()}")
+
+    # Zero-traffic cold start, part 1 (VERDICT r4 item 2): a fresh process
+    # pays ~100-250 s of tunnel-session init before its FIRST device
+    # execute (CLAUDE.md) — pay it in the background, overlapped with the
+    # host-bound corpus gen + index build below, instead of inside the
+    # first warmup window.
+    def _tpu_first_execute():
+        import jax.numpy as _jnp
+
+        log(f"devices: {jax.devices()}")
+        np.asarray(jax.jit(lambda x: x + 1)(_jnp.zeros(8, _jnp.int32)))
+        log(f"tpu session init done at t+{time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    init_thread = threading.Thread(target=_tpu_first_execute, daemon=True)
+    init_thread.start()
     from probly_search_tpu import Index, bm25, whitespace_tokenizer
     from probly_search_tpu.utils.metrics import metrics
 
-    t0 = time.time()
     vocab, cdf, texts = make_corpus(n_docs, 50_000, 8)
     t1 = time.time()
     log(f"corpus gen: {t1 - t0:.1f}s")
@@ -89,22 +105,39 @@ def main():
     queries = make_queries(vocab, cdf, window * n_windows, 3)
     windows = [queries[i : i + window] for i in range(0, len(queries), window)]
     scorer = bm25.new()
+    init_thread.join()  # device snapshot upload wants a warm session
     dix = ix.device_index()
     t3 = time.time()
     log(f"device snapshot: {t3 - t2:.1f}s")
 
-    # Warmup pass: compiles the stream's template program (ONE window
-    # program per (scorer, k, fmt, window) stream since template
-    # compositions became the default — r7 session 3; it was one compile
-    # per window COMPOSITION before, 450 s cold in BENCH_r03), then one
-    # pipelined pre-pass so queues/caches settle before timing.
+    # Zero-traffic cold start, part 2 (VERDICT r4 item 2): the checked-in
+    # template manifest (tools/freeze_bench_templates.py regenerates it;
+    # corpus-deterministic, so live traffic hits the frozen layout and
+    # never re-freezes) + prewarm compiles the stream's ONE window program
+    # before the first query — a ~0.1 s persistent-cache load once any
+    # earlier process on this machine compiled it, vs. paying a remote
+    # compile inside the first serving window.  README "Production cold
+    # start" documents the same recipe for real deployments.
+    import os
+
+    manifest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "bench_templates.json")
+    if os.path.exists(manifest):
+        n_tpl = dix.load_templates(manifest)
+        n_warm = dix.prewarm(scorer)
+        t_pw = time.time()
+        log(f"prewarm: {n_tpl} template(s), {n_warm} program(s) in {t_pw - t3:.1f}s")
+
+    # Warmup pass: two settle passes through the full pipeline (plan-pool
+    # build for the query stream's terms, queue/cache settling).  With the
+    # manifest prewarm above, no window-program compile happens here.
     for w in windows:
         dix.query_batch_async(w, scorer, top_k=top_k).get_arrays()
     for w in windows:
         dix.query_batch_async(w, scorer, top_k=top_k).get_arrays()
     t4 = time.time()
     warmup_s = t4 - t3
-    log(f"warmup (incl. compiles): {warmup_s:.1f}s")
+    log(f"warmup (incl. prewarm): {warmup_s:.1f}s")
 
     # Timed: async submission with a depth-4 pipeline and a background
     # drain thread that reads windows in PAIRS, one window late.  Submit
@@ -150,11 +183,12 @@ def main():
                 f.result()
         return n_total / (time.perf_counter() - t5)
 
+    n_sections = 7  # median of 7 (tunnel swings +-20%; VERDICT r4 item 5)
     sections = []
-    for s in range(5):
+    for s in range(n_sections):
         sections.append(timed_section())
         log(f"timed section {s}: {sections[-1]:.0f} QPS")
-    qps = sorted(sections)[2]  # median of 5 (tunnel swings +-20%; VERDICT r1)
+    qps = sorted(sections)[n_sections // 2]
     scores_out, slots_out, keys_out = results_box[-1]
     assert slots_out.shape == (window, top_k) and keys_out.shape == (window, top_k)
     assert scores_out is None  # slots-only serving mode carries no scores
@@ -163,7 +197,7 @@ def main():
     p50 = lat_ms[len(lat_ms) // 2]
     p99 = lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]
     log(
-        f"timed: median {qps:.0f} QPS over 5 sections; "
+        f"timed: median {qps:.0f} QPS over {n_sections} sections; "
         f"window latency p50 {p50:.0f}ms p99 {p99:.0f}ms ({len(lat_ms)} windows)"
     )
     snap = metrics.snapshot()
@@ -208,6 +242,25 @@ def main():
     t8w = min(queue_n(8) for _ in range(2))
     device_ms_per_window = (t8w - t1w) / 7.0
     log(f"device pace: {device_ms_per_window:.1f} ms/window (T1 {t1w:.0f}, T8 {t8w:.0f})")
+
+    # Weather-normalized ceiling (VERDICT r4 item 5): the pipeline model's
+    # steady-state pace is device compute + the prefetched results' ON-
+    # STREAM D2H (the async copies share the device stream at a measured
+    # ~26 us/KB — PERFORMANCE.md r6 session 4); host planning and the
+    # drain's blocking reads are hidden by the pipeline.  This field moves
+    # only with engine changes, never with tunnel weather, so a reader can
+    # separate regressions from weather at a glance: healthy headline QPS
+    # is this ceiling minus scheduling slack; a ceiling drop is an engine
+    # regression even in good weather.
+    drained_bytes_per_query = 2 * top_k + (top_k + 1) // 2  # slots20
+    onstream_drain_ms = window * drained_bytes_per_query / 1024 * 0.026
+    qps_model_ceiling = window / ((device_ms_per_window + onstream_drain_ms) / 1e3)
+    spread = (max(sections) - min(sections)) / qps
+    log(
+        f"model ceiling: {qps_model_ceiling:.0f} QPS "
+        f"(device {device_ms_per_window:.1f} + on-stream drain "
+        f"{onstream_drain_ms:.1f} ms/window); section spread {spread:.2f}"
+    )
 
     # Recall vs the exact f64 oracle on a 256-query sample (ranked keys
     # from the slots-only drain — the same surface the timed loop serves).
@@ -271,8 +324,11 @@ def main():
                 "window_size": window,
                 "result_format": "slots20",
                 "qps_sections": [round(s, 1) for s in sections],
-                "drained_bytes_per_query": 2 * top_k + (top_k + 1) // 2,
+                "qps_model_ceiling": round(qps_model_ceiling, 1),
+                "qps_sections_spread": round(spread, 3),
+                "drained_bytes_per_query": drained_bytes_per_query,
                 "plan_ms_mean": phase_ms("query/plan"),
+                "prune_ms_mean": phase_ms("query/prune"),
                 "pack_ms_mean": phase_ms("query/pack"),
                 "drain_ms_mean": phase_ms("query/drain"),
                 "fetch_ms_mean": phase_ms("query/fetch"),

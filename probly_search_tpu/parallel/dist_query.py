@@ -1086,94 +1086,14 @@ class ShardedDeviceIndex:
             }
         if planned is None:
             return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
-        jquery, words, max_chunks, njobs, has_range = planned
-        n = self.n_shards
-        d_ax = int(self.mesh.shape["data"])
         fmt = resolve_result_format(
             self.config.effective_result_format(), self.num_slots
         )
 
-        # Shape classes (same bucketing as the single-chip engine), packed
-        # into one flat per-(shard, data) buffer.  Range-carrying queries
-        # form separate classes (aux gather + full-sort merge), padded to
-        # at most 2 rows per data cell — the remote compiler handles
-        # narrow-row range programs but pathologically mishandles 8-row
-        # ones (PERFORMANCE.md r4).
-        # Vectorized pack (VERDICT r4 item 3): the single-chip packer's
-        # approach — one stable class sort of the queries, per-job
-        # destinations by direct lookup (jquery is repeat(arange(B), njobs),
-        # so query q's job rows start at the exclusive njobs cumsum), and
-        # ONE scatter of all jobs into the flat per-(shard, data) buffer.
-        # The per-class np.isin over every job row and the dense per-class
-        # [n, d_ax, b_pad, nj, 3] zero-fills this replaces cost 48.7 ms per
-        # 2048-query window on host (PERFORMANCE.md r7 session 1a) — ~37x
-        # the single-chip packer's per-query cost.
         with metrics.timer("sharded/pack"):
-            nc_bucket = _bucket_vec(max_chunks, self.nc_buckets, self.nc_min)
-            alive = njobs > 0
-            # Class id: (range flag, nc bucket) — range classes sort last,
-            # matching the previous packer's class order so frozen window
-            # programs keep their identity.
-            cls_q = np.where(
-                alive, nc_bucket + (has_range.astype(np.int64) << 32), -1
-            )
-            order = np.argsort(cls_q, kind="stable")
-            scls = cls_q[order]
-            first = int(np.searchsorted(scls, 0))
-            qorder, qcls = order[first:], scls[first:]
-            if len(qorder) == 0:
-                return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
-            jpos = np.zeros(B, dtype=np.int64)
-            np.subtract(np.cumsum(njobs), njobs, out=jpos)
-            cbounds = np.flatnonzero(np.r_[True, qcls[1:] != qcls[:-1], True])
-            class_specs = []
-            layout = []  # (query_indices, data_rows, data_slots, row_offset)
-            spans = []  # (members, drow, dslot, nj, col_off)
-            row_base = col_off = 0
-            for ci in range(len(cbounds) - 1):
-                cls = int(qcls[cbounds[ci]])
-                nc, rng_mode = cls & 0xFFFFFFFF, bool(cls >> 32)
-                all_members = qorder[cbounds[ci] : cbounds[ci + 1]]
-                nj = _bucket(int(njobs[all_members].max()), self.NJ_BUCKETS, 4)
-                # Range classes are capped at 2 rows per data cell — the
-                # remote compiler handles narrow-row range programs but
-                # pathologically mishandles 8-row ones (PERFORMANCE.md r4).
-                step_sz = (2 * d_ax) if rng_mode else len(all_members)
-                for s0 in range(0, len(all_members), step_sz):
-                    members = all_members[s0 : s0 + step_sz]
-                    b_pad = max(
-                        1 if rng_mode else 8,
-                        1 << (-(-len(members) // d_ax) - 1).bit_length(),
-                    )
-                    rank = np.arange(len(members))
-                    drow = rank // b_pad
-                    dslot = rank % b_pad
-                    # Output rows kept per data cell: the max occupancy of
-                    # any cell (cell 0 fills first) rounded up to a coarse
-                    # 256 granularity — drops most pow-2 pad rows from the
-                    # collective and the D2H fetch while keeping window
-                    # compositions (= compiles) few.
-                    b_out = min(b_pad, -(-min(len(members), b_pad) // 256) * 256)
-                    class_specs.append((b_pad, b_out, nj, nc, rng_mode))
-                    layout.append((members, drow, dslot, row_base))
-                    spans.append((members, drow, dslot, nj, col_off))
-                    row_base += b_out
-                    col_off += b_pad * nj * 3
-            # One scatter: per-job (data row, flat column) destinations.
-            src_p, dr_p, dc_p = [], [], []
-            for members, drow, dslot, nj, coff in spans:
-                qnj = njobs[members]
-                r = np.repeat(np.arange(len(members), dtype=np.int64), qnj)
-                pos = _segment_arange(qnj)
-                src_p.append(np.repeat(jpos[members], qnj) + pos)
-                dr_p.append(drow[r])
-                dc_p.append(coff + (dslot[r] * nj + pos) * 3)
-            src = np.concatenate(src_p)
-            dr = np.concatenate(dr_p)
-            dc = np.concatenate(dc_p)
-            buf = np.zeros((n, d_ax, col_off), dtype=np.int32)
-            for i in range(3):
-                buf[:, dr, dc + i] = words[:, src, i]
+            class_specs, layout, buf = self._pack_window(planned, B)
+        if not class_specs:
+            return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
 
         any_ranges = any(rng for *_s, rng in class_specs)
         aux = self._aux_rec(scorer) if any_ranges else self._aux_dummy()
@@ -1192,6 +1112,93 @@ class ShardedDeviceIndex:
             # device work (config.prefetch_results; PERFORMANCE.md r6 s2).
             packed.copy_to_host_async()
         return ShardedPendingBatch(self, B, packed, layout, host_rows, k=k, fmt=fmt)
+
+    def _pack_window(self, planned, B):
+        """Pack a planned window into (class_specs, layout, buf).
+
+        Shape classes (same bucketing as the single-chip engine), packed
+        into one flat per-(shard, data-cell) ``buf`` [n, d_ax, words].
+        Range-carrying queries form separate classes (aux gather +
+        full-sort merge), padded to at most 2 rows per data cell — the
+        remote compiler handles narrow-row range programs but
+        pathologically mishandles 8-row ones (PERFORMANCE.md r4).
+
+        Vectorized (VERDICT r4 item 3) like the single-chip packer: one
+        stable class argsort of the queries, per-job destinations by
+        direct lookup (jquery is repeat(arange(B), njobs), so query q's
+        job rows start at the exclusive njobs cumsum), and ONE scatter of
+        all jobs into the flat buffer.  This replaced per-class np.isin
+        over every job row + dense [n, d_ax, b_pad, nj, 3] zero-fills:
+        48.7 -> 13.6 ms per 2048-query window on this 1-CPU host
+        (PERFORMANCE.md r8 session 2).  Returns ([], [], None) for an
+        all-empty window.
+        """
+        jquery, words, max_chunks, njobs, has_range = planned
+        n = self.n_shards
+        d_ax = int(self.mesh.shape["data"])
+        nc_bucket = _bucket_vec(max_chunks, self.nc_buckets, self.nc_min)
+        alive = njobs > 0
+        # Class id: (range flag, nc bucket) — range classes sort last,
+        # matching the previous packer's class order so frozen window
+        # programs keep their identity.
+        cls_q = np.where(
+            alive, nc_bucket + (has_range.astype(np.int64) << 32), -1
+        )
+        order = np.argsort(cls_q, kind="stable")
+        scls = cls_q[order]
+        first = int(np.searchsorted(scls, 0))
+        qorder, qcls = order[first:], scls[first:]
+        if len(qorder) == 0:
+            return [], [], None
+        jpos = np.zeros(B, dtype=np.int64)
+        np.subtract(np.cumsum(njobs), njobs, out=jpos)
+        cbounds = np.flatnonzero(np.r_[True, qcls[1:] != qcls[:-1], True])
+        class_specs = []
+        layout = []  # (query_indices, data_rows, data_slots, row_offset)
+        spans = []  # (members, drow, dslot, nj, col_off)
+        row_base = col_off = 0
+        for ci in range(len(cbounds) - 1):
+            cls = int(qcls[cbounds[ci]])
+            nc, rng_mode = cls & 0xFFFFFFFF, bool(cls >> 32)
+            all_members = qorder[cbounds[ci] : cbounds[ci + 1]]
+            nj = _bucket(int(njobs[all_members].max()), self.NJ_BUCKETS, 4)
+            step_sz = (2 * d_ax) if rng_mode else len(all_members)
+            for s0 in range(0, len(all_members), step_sz):
+                members = all_members[s0 : s0 + step_sz]
+                b_pad = max(
+                    1 if rng_mode else 8,
+                    1 << (-(-len(members) // d_ax) - 1).bit_length(),
+                )
+                rank = np.arange(len(members))
+                drow = rank // b_pad
+                dslot = rank % b_pad
+                # Output rows kept per data cell: the max occupancy of
+                # any cell (cell 0 fills first) rounded up to a coarse
+                # 256 granularity — drops most pow-2 pad rows from the
+                # collective and the D2H fetch while keeping window
+                # compositions (= compiles) few.
+                b_out = min(b_pad, -(-min(len(members), b_pad) // 256) * 256)
+                class_specs.append((b_pad, b_out, nj, nc, rng_mode))
+                layout.append((members, drow, dslot, row_base))
+                spans.append((members, drow, dslot, nj, col_off))
+                row_base += b_out
+                col_off += b_pad * nj * 3
+        # One scatter: per-job (data row, flat column) destinations.
+        src_p, dr_p, dc_p = [], [], []
+        for members, drow, dslot, nj, coff in spans:
+            qnj = njobs[members]
+            r = np.repeat(np.arange(len(members), dtype=np.int64), qnj)
+            pos = _segment_arange(qnj)
+            src_p.append(np.repeat(jpos[members], qnj) + pos)
+            dr_p.append(drow[r])
+            dc_p.append(coff + (dslot[r] * nj + pos) * 3)
+        src = np.concatenate(src_p)
+        dr = np.concatenate(dr_p)
+        dc = np.concatenate(dc_p)
+        buf = np.zeros((n, d_ax, col_off), dtype=np.int32)
+        for i in range(3):
+            buf[:, dr, dc + i] = words[:, src, i]
+        return class_specs, layout, buf
 
     def _aux_dummy(self):
         d = self._aux_cache.get("dummy")

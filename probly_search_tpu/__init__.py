@@ -27,7 +27,7 @@ Public API mirrors the reference surface (``src/lib.rs``):
 """
 
 from .index.core import Index, QueryResult, DocumentDetails, DocumentPointer, FieldDetails
-from .config import IndexConfig
+from .config import IndexConfig, HostFallbackError
 from .models.base import ScoreCalculator, TermData, FieldData
 from .models import bm25, zero_to_one
 from .utils.tokenizers import whitespace_tokenizer
@@ -47,6 +47,7 @@ __version__ = "0.2.0"
 __all__ = [
     "Index",
     "IndexConfig",
+    "HostFallbackError",
     "QueryResult",
     "DocumentDetails",
     "DocumentPointer",

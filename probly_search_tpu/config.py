@@ -11,6 +11,11 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 
+class HostFallbackError(RuntimeError):
+    """Raised when ``IndexConfig.host_fallback = "error"`` and a device-path
+    query would degrade to host-speed serving (see ``host_fallback``)."""
+
+
 @dataclass
 class IndexConfig:
     # --- reference-mirrored knobs -----------------------------------------
@@ -207,6 +212,20 @@ class IndexConfig:
         kw.setdefault("serving_window", 2048)
         kw.setdefault("serving_depth", 4)
         return cls(**kw)
+
+    # Policy when a device-path query degrades to HOST-speed serving
+    # (cap-exceeding plans; z2o shared-node queries past the ~16k-lane
+    # lockstep compile cap).  Host fallbacks are exact but slow — the
+    # measured z2o adversarial worst case (duplicate-term hot-prefix
+    # queries, benchmarks/z2o_adversarial.py) serves at 28 QPS vs 18.6k
+    # for a same-size normal window (664x, PERFORMANCE.md r8 session 3).
+    #   "allow"  serve them silently (the default; matches the reference,
+    #            which has no device path and no caps)
+    #   "warn"   serve them and emit a RuntimeWarning with the count
+    #   "error"  raise probly_search_tpu.HostFallbackError instead —
+    #            for servers that would rather shed an adversarial query
+    #            than absorb a ~35 ms/query host walk on the serving path
+    host_fallback: str = "allow"
 
     # Issue `copy_to_host_async()` on the packed window result at submit
     # time.  The runtime enqueues the D2H transfer right behind the

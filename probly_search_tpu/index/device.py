@@ -78,6 +78,31 @@ _LEN_BITS = 26
 _QT_BITS = 4
 _MAX_JOB_LEN = (1 << _LEN_BITS) - 1
 
+from ..config import HostFallbackError
+
+
+def _host_fallback_policy(config, n: int, reason: str) -> None:
+    """Enforce ``IndexConfig.host_fallback`` for ``n`` degraded queries.
+
+    Host fallbacks are exact but orders of magnitude slower than the
+    device path (measured 664x on the z2o shared-node worst case,
+    PERFORMANCE.md r8 session 3) — production servers may prefer to
+    reject such queries over silently absorbing the latency.
+    """
+    policy = getattr(config, "host_fallback", "allow")
+    if policy == "allow" or n <= 0:
+        return
+    msg = (
+        f"{n} quer{'y' if n == 1 else 'ies'} degraded to the host-speed "
+        f"path ({reason}); see IndexConfig.host_fallback"
+    )
+    if policy == "error":
+        raise HostFallbackError(msg)
+    import warnings
+
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+
 # Fused-kernel mode: "auto" (TPU only), "off" (staged XLA path), or
 # "interpret" (run the Pallas kernel interpreted — CPU parity testing).
 _FUSED_MODE = "auto"
@@ -1749,6 +1774,9 @@ class DeviceIndex:
             # adversarial query costs milliseconds, not a per-posting
             # Python walk holding the whole window.
             metrics.inc("device_fallback_queries", len(fallback))
+            _host_fallback_policy(
+                self.config, len(fallback), "device plan caps exceeded"
+            )
             vq = getattr(scorer, "vectorized_query", None)
             with metrics.timer("query/host_fallback"):
                 host_rows = {

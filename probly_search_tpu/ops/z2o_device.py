@@ -842,6 +842,9 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None, fmt=None)
         # per-posting Python walk.  A z2o SUBCLASS with overridden scoring
         # keeps the exact path (its semantics are its own).
         metrics.inc("device_fallback_queries", len(fallback))
+        _dev_mod._host_fallback_policy(
+            dix.config, len(fallback), "z2o device plan caps exceeded"
+        )
         plain = scorer is None or type(scorer) is _z2o.ZeroToOne
         for qi in fallback:
             host_rows[qi] = (
@@ -878,6 +881,11 @@ def z2o_query_batch_async(dix, queries, tokenizer, top_k, scorer=None, fmt=None)
     )
     if huge.any():
         metrics.inc("z2o_host_vectorized_queries", int(huge.sum()))
+        _dev_mod._host_fallback_policy(
+            dix.config,
+            int(huge.sum()),
+            "z2o shared-node queries past the lockstep compile cap",
+        )
         for qi in np.flatnonzero(huge & (njobs > 0)):
             host_rows[int(qi)] = _z2o.ZeroToOne.vectorized_query(
                 dix._index, queries[int(qi)], tokenizer, top_k=k

@@ -312,6 +312,37 @@ class TestSlotsResults:
         assert resolve_result_format("f32", 1 << 24) == "f32"
         assert resolve_result_format("compact", 1 << 24) == "compact"
 
+    def test_host_fallback_policy(self):
+        """IndexConfig.host_fallback: "allow" serves silently (default),
+        "warn" emits a RuntimeWarning, "error" raises HostFallbackError —
+        the guard for the measured 664x z2o adversarial degradation
+        (benchmarks/z2o_adversarial.py, PERFORMANCE.md r8 session 3)."""
+        import warnings
+
+        from probly_search_tpu import HostFallbackError
+        from probly_search_tpu.ops.z2o_device import z2o_query_batch_async
+
+        big = " ".join(f"w{i}" for i in range(40))  # > max_query_terms
+        for policy, expect in (("allow", None), ("warn", "warns"),
+                               ("error", "raises")):
+            ix, vocab = self._corpus(IndexConfig(host_fallback=policy))
+            dix = ix.device_index()
+            if expect == "raises":
+                with pytest.raises(HostFallbackError, match="degraded"):
+                    dix.query_batch_async([big, vocab[0]], bm25.new(), top_k=5)
+                # the z2o engine honors the same knob
+                with pytest.raises(HostFallbackError, match="degraded"):
+                    z2o_query_batch_async(dix, [big], whitespace_tokenizer, 5)
+            elif expect == "warns":
+                with pytest.warns(RuntimeWarning, match="host-speed"):
+                    h = dix.query_batch_async([big, vocab[0]], bm25.new(), top_k=5)
+                h.get_arrays()
+            else:
+                with warnings.catch_warnings():
+                    warnings.simplefilter("error")
+                    h = dix.query_batch_async([big, vocab[0]], bm25.new(), top_k=5)
+                h.get_arrays()
+
     def test_slots_host_fallback_rows_are_valid(self):
         # An over-cap query (> max_query_terms) falls back to the host; its
         # row must keep the ``slots >= 0`` validity contract.

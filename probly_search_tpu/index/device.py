@@ -952,6 +952,9 @@ class DeviceIndex:
                 )
                 pool["prune_cub_off"] = np.zeros(0, np.int64)  # start per job
                 pool["prune_cub"] = np.zeros((0, self.num_fields), np.float32)
+                pool["prune_cub_min"] = np.zeros(
+                    (0, self.num_fields), np.float32
+                )
             self._plan_pools[_scorer_cache_key(scorer)] = pool
         ids = pool["ids"]
         miss = [t for t in uniq_terms if t not in ids]
@@ -1169,6 +1172,9 @@ class DeviceIndex:
                 ]
             )
             pool["prune_cub"] = np.concatenate([pool["prune_cub"], b["cub"]])
+            pool["prune_cub_min"] = np.concatenate(
+                [pool["prune_cub_min"], b["cub_min"]]
+            )
 
         base = len(pool["off"]) - 1
         for i, t in enumerate(miss):

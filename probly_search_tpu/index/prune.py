@@ -22,6 +22,14 @@ see DeviceIndex._term_plans):
 * ``cub_off`` int64[NJOBS + 1] and ``cub`` f32[TOTCHUNKS, F] — per-CHUNK
   max impact (the chunk decomposition is the engine's stride-C scheme off
   the job's 128-aligned base, exactly matching _query_step_impl), inflated.
+* ``cub_min`` f32[NJOBS, F]      — per-job MIN over its chunks of ``cub``
+  (+inf for chunkless jobs).  A job-level NECESSARY condition for any of
+  its chunks to prune: ``sum_f boost_f * min_c cub_c[f] <= min_c sum_f
+  boost_f * cub_c[f]``, so if even that optimistic lhs clears tau, no
+  chunk of the job can drop and the per-chunk gather/test is skipped.
+  On mixes where nothing prunes (the 1M headline bench — see the
+  workload note) this removes most of the per-window prune cost; the
+  pruning DECISION still always uses the exact per-chunk test.
 
 Prune rule (per query q with terms t1..tm, requested top-k, boosts >= 0):
 
@@ -102,6 +110,7 @@ def build_job_bounds(
     F = dix.num_fields
     C = chunk
     ub = np.zeros((J, F), dtype=np.float32)
+    cub_min = np.full((J, F), np.inf, dtype=np.float32)
     topv = np.full((J, F, k_cap), -np.inf, dtype=np.float32)
     nreal = np.where(
         jrange, 0, np.where(jlen > 0, (jstart % 128 + jlen + C - 1) // C, 0)
@@ -111,7 +120,13 @@ def build_job_bounds(
     cub = np.zeros((int(cub_off[-1]), F), dtype=np.float32)
     sel = np.flatnonzero(~jrange & (jlen > 0))
     if len(sel) == 0:
-        return {"ub": ub, "topv": topv, "cub_off": cub_off, "cub": cub}
+        return {
+            "ub": ub,
+            "topv": topv,
+            "cub_off": cub_off,
+            "cub": cub,
+            "cub_min": cub_min,
+        }
 
     # Flat posting rows of the selected jobs (jobs never cross segments).
     s_start = jstart[sel]
@@ -152,7 +167,16 @@ def build_job_bounds(
         tv = np.full((len(sel), k_cap), -np.inf, dtype=np.float64)
         tv[jobflat[order][take], rank[take]] = col[order][take] * (1.0 - margin)
         topv[sel, f, :] = tv.astype(np.float32)
-    return {"ub": ub, "topv": topv, "cub_off": cub_off, "cub": cub}
+    # Per-job min chunk bound (sel jobs' chunk rows are contiguous and in
+    # sel order, every group non-empty — reduceat segments line up).
+    cub_min[sel] = np.minimum.reduceat(cub, cub_off[sel], axis=0)
+    return {
+        "ub": ub,
+        "topv": topv,
+        "cub_off": cub_off,
+        "cub": cub,
+        "cub_min": cub_min,
+    }
 
 
 def prune_plan(dix, plan, pool, k: int, fields_boost) -> Any:
@@ -229,6 +253,20 @@ def prune_plan(dix, plan, pool, k: int, fields_boost) -> Any:
     np.cumsum(njc_all, out=coff[1:])
 
     tj = np.flatnonzero(test_j)
+    # Job-level necessary condition (see module docstring ``cub_min``):
+    # only jobs whose OPTIMISTIC lower-bound lhs clears the threshold can
+    # have a droppable chunk — the rest skip the per-chunk gather/test
+    # entirely (on no-prune mixes this is most of the window's prune
+    # cost).  inf * 0 boost -> nan sums compare False: chunkless jobs
+    # fall out, which is the correct (never-prunable) outcome.
+    with np.errstate(invalid="ignore"):
+        cminw = (
+            pool["prune_cub_min"][rows[tj]].astype(np.float64) * boosts
+        ).sum(axis=1)
+        maybe = cminw * scale[tj] + other[tj] < tau_q[jq[tj]]
+    tj = tj[maybe]
+    if not len(tj):
+        return plan
     ncj = njc_all[tj]
     pj = np.repeat(tj, ncj)  # plan-job index per tested chunk
     w = _segment_arange(ncj)

@@ -244,22 +244,25 @@ def main():
     log(f"device pace: {device_ms_per_window:.1f} ms/window (T1 {t1w:.0f}, T8 {t8w:.0f})")
 
     # Weather-normalized ceiling (VERDICT r4 item 5): the pipeline model's
-    # steady-state pace is device compute + the prefetched results' ON-
-    # STREAM D2H (the async copies share the device stream at a measured
-    # ~26 us/KB — PERFORMANCE.md r6 session 4); host planning and the
-    # drain's blocking reads are hidden by the pipeline.  This field moves
-    # only with engine changes, never with tunnel weather, so a reader can
-    # separate regressions from weather at a glance: healthy headline QPS
-    # is this ceiling minus scheduling slack; a ceiling drop is an engine
+    # steady-state pace is the marginal per-window device-stream cost —
+    # and because prefetch_results (the package default) enqueues each
+    # window's D2H copy on the device stream at submit time, the queue-8
+    # measurement above ALREADY carries one on-stream drain per window
+    # (~26 us/KB — PERFORMANCE.md r6 session 4; an earlier version of
+    # this field added it again and produced a "ceiling" below measured
+    # QPS, r8 session 4).  Host planning and the drain's blocking reads
+    # are hidden by the pipeline.  This field moves only with engine
+    # changes, never with tunnel weather, so a reader can separate
+    # regressions from weather at a glance: healthy headline QPS is this
+    # ceiling minus serving-loop slack; a ceiling drop is an engine
     # regression even in good weather.
     drained_bytes_per_query = 2 * top_k + (top_k + 1) // 2  # slots20
-    onstream_drain_ms = window * drained_bytes_per_query / 1024 * 0.026
-    qps_model_ceiling = window / ((device_ms_per_window + onstream_drain_ms) / 1e3)
+    qps_model_ceiling = window / (device_ms_per_window / 1e3)
     spread = (max(sections) - min(sections)) / qps
     log(
         f"model ceiling: {qps_model_ceiling:.0f} QPS "
-        f"(device {device_ms_per_window:.1f} + on-stream drain "
-        f"{onstream_drain_ms:.1f} ms/window); section spread {spread:.2f}"
+        f"(device-stream pace {device_ms_per_window:.1f} ms/window incl. "
+        f"on-stream drain); section spread {spread:.2f}"
     )
 
     # Recall vs the exact f64 oracle on a 256-query sample (ranked keys

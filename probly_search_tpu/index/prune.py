@@ -55,9 +55,18 @@ relative f32 drift and the f64-vs-f32 scale-word rounding.
 Pruning is DISABLED (per call or per query) whenever safety cannot be
 proven: k > IndexConfig.prune_max_top_k, any negative field boost, scorers
 without ``device_impact`` (e.g. zero-to-one), queries carrying term-range
-jobs, or a snapshot with non-finite field averages.  The sharded engine
-(parallel/dist_query.py) does not prune yet — its per-shard plans would
-need per-shard bounds.
+jobs, or a snapshot with non-finite field averages.
+
+The sharded engine prunes too (``prune_plan_sharded``), with two
+sharding refinements to the same rule: tau(q) is the max over shards'
+achievable thresholds (a shard's k best docs for a job are k distinct
+docs of the GLOBAL corpus), and a chunk's "other terms" slack uses its
+OWN shard's UB(t') — a doc's postings all live on one shard, so the
+shard-local bound is both valid and tighter.  The rebuild is TRIM-ONLY:
+a job loses provably-hopeless leading/trailing chunks but keeps interior
+ones, so job rows keep the cross-shard alignment the packed window
+layout requires (a fully-pruned job becomes zero-length, which the
+per-shard job tables already support as split-tail padding).
 
 Workload note (honest): on the 1M-doc headline bench (3-term Zipf queries,
 uniform 8-token docs) the disjunctive bound ``sum UB(t')`` is far above any
@@ -177,6 +186,171 @@ def build_job_bounds(
         "cub": cub,
         "cub_min": cub_min,
     }
+
+
+class _ShardBoundsView:
+    """One shard of a ShardedDeviceIndex presented as a
+    :func:`build_job_bounds` source: shard-local posting rows (the shard
+    CSR's row space — ``_shard_rows[s]`` in global posting order preserves
+    the per-term doc-sorted CSR invariant), global doc stats."""
+
+    def __init__(self, sdix, s: int):
+        sel = sdix._shard_rows[s]
+        self._post_tf_all = sdix._post_tf_g[sel]
+        self._post_doc_all = sdix._post_doc_g[sel]
+        self._doc_len_snap = sdix._doc_len_snap
+        self._alive_snap = sdix._alive_snap
+        self._field_avg_host = sdix._field_avg_host
+        self.num_fields = sdix.num_fields
+
+
+def shard_bounds_view(sdix, s: int) -> _ShardBoundsView:
+    """Cached per-shard bounds view (the gather above is O(P/n))."""
+    v = sdix._prune_views[s]
+    if v is None:
+        v = sdix._prune_views[s] = _ShardBoundsView(sdix, s)
+    return v
+
+
+def prune_plan_sharded(sdix, planned, rows, qp, k: int, fields_boost) -> Any:
+    """Trim-only sharded block-max pruning (module docstring, sharded
+    paragraph).  ``planned`` is the 5-tuple from
+    ``ShardedDeviceIndex.plan_batch``; ``rows`` its pool job-row indices;
+    ``qp`` the plan pool carrying ``prune_sh`` per-shard bounds.  Returns
+    a (possibly) trimmed 5-tuple; inputs are never mutated."""
+    from ..utils.metrics import metrics
+    from .device import _LEN_BITS, _MAX_JOB_LEN, _QT_BITS
+
+    cfg = sdix.config
+    k_cap = int(getattr(cfg, "prune_max_top_k", 16))
+    if planned is None or rows is None or k > k_cap or k < 1:
+        return planned
+    boosts = np.asarray(fields_boost, dtype=np.float64)
+    if (boosts < 0).any() or len(boosts) != sdix.num_fields:
+        return planned
+
+    jq, words, nchunks, njobs, has_range = planned
+    n, Jw = words.shape[0], words.shape[1]
+    B = len(njobs)
+    C = sdix.CHUNK
+    if Jw == 0:
+        return planned
+    # word1's qterm/range bits and word2's scale are shard-invariant
+    # (dist_query._plan_batch_impl broadcasts them); only start/len vary.
+    jqterm = (words[0, :, 1] >> _LEN_BITS) & ((1 << _QT_BITS) - 1)
+    is_rng = ((words[0, :, 1] >> 30) & 1) > 0
+    scale = words[0, :, 2].view(np.float32).astype(np.float64)
+    pbs = qp["prune_sh"]
+
+    # Per-shard weighted job bounds [n, Jw] (f64; margins are pooled).
+    with np.errstate(invalid="ignore"):
+        ubw = (
+            np.stack(
+                [
+                    (pbs[s]["ub"][rows].astype(np.float64) * boosts).sum(axis=1)
+                    for s in range(n)
+                ]
+            )
+            * scale
+        )
+        kth = np.stack(
+            [pbs[s]["topv"][rows, :, k - 1].astype(np.float64) for s in range(n)]
+        )  # [n, Jw, F]
+        kthw = np.where(kth == -np.inf, -np.inf, kth * boosts)
+        tau_job = kthw.max(axis=2) * scale  # [n, Jw]
+
+    # (q, qterm) job runs are contiguous for non-range queries (range-
+    # carrying queries may interleave, but they are never prunable).
+    gkey = jq * (1 << _QT_BITS) + jqterm
+    heads = np.ones(Jw, dtype=bool)
+    heads[1:] = gkey[1:] != gkey[:-1]
+    hidx = np.flatnonzero(heads)
+    ub_t = np.maximum.reduceat(ubw, hidx, axis=1)  # [n, G]
+    tq = jq[hidx]
+    S_q = np.stack(
+        [np.bincount(tq, weights=ub_t[s], minlength=B) for s in range(n)]
+    )  # [n, B]
+    qheads = np.ones(Jw, dtype=bool)
+    qheads[1:] = jq[1:] != jq[:-1]
+    qh = np.flatnonzero(qheads)
+    tau_q = np.full(B, -np.inf)
+    tau_q[jq[qh]] = np.maximum.reduceat(tau_job.max(axis=0), qh)
+
+    prunable_q = (tau_q > 0) & np.isfinite(tau_q) & ~has_range
+    test_j = prunable_q[jq] & ~is_rng
+    if not test_j.any():
+        return planned
+    grp_sizes = np.diff(np.r_[hidx, Jw])
+    ub_t_job = np.repeat(ub_t, grp_sizes, axis=1)  # [n, Jw]
+    other = S_q[:, jq] - ub_t_job  # [n, Jw] — shard-local slack
+
+    words2 = words
+    trimmed_total = 0
+    for s in range(n):
+        jstart_all = words[s, :, 0].astype(np.int64)
+        jlen_all = (words[s, :, 1] & _MAX_JOB_LEN).astype(np.int64)
+        njc_all = np.where(
+            jlen_all > 0, (jstart_all % 128 + jlen_all + C - 1) // C, 0
+        )
+        tj = np.flatnonzero(test_j & (njc_all > 0))
+        if not len(tj):
+            continue
+        # Job-level necessary condition via cub_min (see prune_plan).
+        with np.errstate(invalid="ignore"):
+            cminw = (
+                pbs[s]["cub_min"][rows[tj]].astype(np.float64) * boosts
+            ).sum(axis=1)
+            maybe = cminw * scale[tj] + other[s, tj] < tau_q[jq[tj]]
+        tj = tj[maybe]
+        if not len(tj):
+            continue
+        ncj = njc_all[tj]
+        w = _segment_arange(ncj)
+        pj = np.repeat(tj, ncj)
+        crows = np.repeat(pbs[s]["cub_off"][rows[tj]], ncj) + w
+        cubw = (pbs[s]["cub"][crows].astype(np.float64) * boosts).sum(axis=1)
+        drop = cubw * scale[pj] + other[s, pj] < tau_q[jq[pj]]
+        if not drop.any():
+            continue
+        # Trim-only rebuild: first/last KEPT chunk per tested job.
+        off = np.zeros(len(tj), np.int64)
+        np.subtract(np.cumsum(ncj), ncj, out=off)
+        wk_min = np.minimum.reduceat(np.where(drop, 1 << 40, w), off)
+        wk_max = np.maximum.reduceat(np.where(drop, -1, w), off)
+        base = (jstart_all[tj] // 128) * 128
+        empty = wk_max < 0
+        new_start = np.where(wk_min == 0, jstart_all[tj], base + wk_min * C)
+        new_end = np.minimum(
+            jstart_all[tj] + jlen_all[tj], base + (wk_max + 1) * C
+        )
+        new_len = np.where(empty, 0, new_end - new_start)
+        new_start = np.where(empty, jstart_all[tj], new_start)
+        if not (new_len != jlen_all[tj]).any():
+            continue
+        if words2 is words:
+            words2 = words.copy()
+        words2[s, tj, 0] = new_start.astype(np.int32)
+        words2[s, tj, 1] = (
+            new_len
+            | (jqterm[tj].astype(np.int64) << _LEN_BITS)
+            | (is_rng[tj].astype(np.int64) << 30)
+        ).astype(np.int32)
+        trimmed_total += int(
+            (ncj - np.where(empty, 0, wk_max - wk_min + 1)).sum()
+        )
+    if words2 is words:
+        return planned
+    # Per-query chunk totals = max over shards (plan_batch's nchunks
+    # contract; the class bucketing keys on it).
+    nch_sh = np.zeros((n, B))
+    for s in range(n):
+        jl = (words2[s, :, 1] & _MAX_JOB_LEN).astype(np.int64)
+        js = words2[s, :, 0].astype(np.int64)
+        njc = np.where(jl > 0, (js % 128 + jl + C - 1) // C, 0)
+        nch_sh[s] = np.bincount(jq, weights=njc.astype(np.float64), minlength=B)
+    nch2 = nch_sh.max(axis=0).astype(np.int64)
+    metrics.inc("prune/sharded_trimmed_chunks", trimmed_total)
+    return jq, words2, nch2, njobs, has_range
 
 
 def prune_plan(dix, plan, pool, k: int, fields_boost) -> Any:

@@ -136,6 +136,18 @@ class ShardedDeviceIndex:
         self._term_of_post = term_of_post
         self._pmax = pmax
         self._aux_cache: Dict[Any, Any] = {}
+        # Host posting stats retained for sharded block-max bounds
+        # (index/prune.py): per-shard job bounds are computed lazily at
+        # plan-pool insert from these snapshot copies (alive/doc_len are
+        # copies — a later vacuum must not leak into stale bounds).
+        self._post_tf_g = gseg.post_tf
+        self._post_doc_g = post_doc
+        self._alive_snap = alive.copy()
+        self._doc_len_snap = doc_len  # f32 [S, F]; astype above copied
+        self._field_avg_host = np.array(
+            [fd.avg for fd in index._fields], dtype=np.float64
+        )
+        self._prune_views: List[Any] = [None] * n
         # Transposed per-shard record arrays [n, R, Pmax + C] (see
         # index/device.py layout note).
         rec = np.zeros((n, R, pmax + C), dtype=np.int32)
@@ -212,7 +224,9 @@ class ShardedDeviceIndex:
     _QPLAN_MAX_QUERIES = 1 << 20
     _QPLAN_MAX_ROWS = 4 << 20
 
-    def plan_batch(self, queries: Sequence[str], tokenizer, scorer):
+    def plan_batch(
+        self, queries: Sequence[str], tokenizer, scorer, with_rows: bool = False
+    ):
         """Plan a batch into per-shard job tables (thread-safe, cached).
 
         Returns ``((jquery, words[n, NJOBS, 3], nchunks[B], njobs[B],
@@ -221,6 +235,8 @@ class ShardedDeviceIndex:
         host path.  The assembled per-QUERY job rows are snapshot-static and
         pooled (the sharded mirror of ``DeviceIndex.plan_batch``): repeated
         queries cost one dict lookup + a vectorized CSR gather.
+        ``with_rows=True`` appends the pool job-row indices as a 6th
+        element (the sharded prune pass keys its bounds on them).
         """
         with self._plan_lock:
             qp = self._qplan_pool(scorer, tokenizer)
@@ -238,13 +254,16 @@ class ShardedDeviceIndex:
                 return None, fallback
             jquery = np.repeat(np.arange(B, dtype=np.int64), nj)
             rows = np.repeat(qp["off"][qids], nj) + _segment_arange(nj)
-            return (
+            planned = (
                 jquery,
                 qp["words"][:, rows],
                 qp["nchunks"][qids],
                 nj,
                 qp["has_range"][qids],
-            ), fallback
+            )
+            if with_rows:
+                planned = planned + (rows,)
+            return planned, fallback
 
     def _qplan_pool(self, scorer, tokenizer):
         key = (
@@ -265,6 +284,27 @@ class ShardedDeviceIndex:
                 "has_range": np.zeros(0, dtype=bool),
                 "fallback": np.zeros(0, dtype=bool),
             }
+            # Sharded block-max bounds ride along per (shard, job row) —
+            # the sharded mirror of DeviceIndex._term_plans' prune arrays.
+            # Decision frozen at pool creation (a mid-life config flip
+            # must not misalign rows and bounds).
+            if (
+                getattr(self.config, "prune_blocks", True)
+                and hasattr(scorer, "device_impact")
+                and np.isfinite(self._field_avg_host).all()
+            ):
+                k_cap = int(getattr(self.config, "prune_max_top_k", 16))
+                F = self.num_fields
+                qp["prune_sh"] = [
+                    {
+                        "ub": np.zeros((0, F), np.float32),
+                        "topv": np.zeros((0, F, k_cap), np.float32),
+                        "cub_off": np.zeros(0, np.int64),
+                        "cub": np.zeros((0, F), np.float32),
+                        "cub_min": np.zeros((0, F), np.float32),
+                    }
+                    for _ in range(self.n_shards)
+                ]
             self._qplan_pools[key] = qp
         return qp
 
@@ -283,6 +323,29 @@ class ShardedDeviceIndex:
             rng_m = np.zeros(M, dtype=bool)
         else:
             _jq, words_m, nch_m, nj_m, rng_m = planned
+        if "prune_sh" in qp:
+            from ..index.prune import build_job_bounds, shard_bounds_view
+
+            k_cap = int(getattr(self.config, "prune_max_top_k", 16))
+            margin = float(getattr(self.config, "prune_margin", 1e-4))
+            for s in range(self.n_shards):
+                b = build_job_bounds(
+                    shard_bounds_view(self, s),
+                    scorer,
+                    words_m[s, :, 0].astype(np.int64),
+                    (words_m[s, :, 1] & _MAX_JOB_LEN).astype(np.int64),
+                    ((words_m[s, :, 1] >> 30) & 1) > 0,
+                    self.CHUNK,
+                    k_cap,
+                    margin,
+                )
+                assert b is not None  # gating matched at pool creation
+                ps = qp["prune_sh"][s]
+                ps["cub_off"] = np.concatenate(
+                    [ps["cub_off"], b["cub_off"][:-1] + len(ps["cub"])]
+                )
+                for f in ("ub", "topv", "cub", "cub_min"):
+                    ps[f] = np.concatenate([ps[f], b[f]])
         base = len(qp["off"]) - 1
         for i, q in enumerate(miss):
             qp["ids"][q] = base + i
@@ -828,6 +891,11 @@ class ShardedDeviceIndex:
         host_rows = None
         if fallback:
             metrics.inc("device_fallback_queries", len(fallback))
+            from ..index.device import _host_fallback_policy
+
+            _host_fallback_policy(
+                self.config, len(fallback), "sharded z2o plan caps exceeded"
+            )
             plain = scorer is None or type(scorer) is _z2o.ZeroToOne
             host_rows = {
                 qi: (
@@ -1068,10 +1136,20 @@ class ShardedDeviceIndex:
         B = len(queries)
         metrics.inc("sharded_queries_submitted", B)
         with metrics.timer("sharded/plan"):
-            planned, fallback = self.plan_batch(queries, tokenizer, scorer)
+            planned, fallback = self.plan_batch(
+                queries, tokenizer, scorer, with_rows=True
+            )
+        pool_rows = None
+        if planned is not None:
+            planned, pool_rows = planned[:5], planned[5]
         host_rows = None
         if fallback:
             metrics.inc("device_fallback_queries", len(fallback))
+            from ..index.device import _host_fallback_policy
+
+            _host_fallback_policy(
+                self.config, len(fallback), "sharded plan caps exceeded"
+            )
             vq = getattr(scorer, "vectorized_query", None)
             host_rows = {
                 qi: (
@@ -1086,6 +1164,26 @@ class ShardedDeviceIndex:
             }
         if planned is None:
             return ShardedPendingBatch(self, B, None, None, host_rows, k=k)
+        # Sharded block-max pruning (index/prune.py prune_plan_sharded):
+        # trim-only — per-shard jobs lose provably-hopeless leading /
+        # trailing chunks, job rows stay shard-aligned.  Exact (bit-equal
+        # results, tests/test_sharding.py).
+        if getattr(self.config, "prune_blocks", True):
+            qp = self._qplan_pools.get(
+                (
+                    getattr(
+                        scorer, "device_cache_key", lambda: ("id", id(scorer))
+                    )(),
+                    tokenizer,
+                )
+            )
+            if qp is not None and "prune_sh" in qp:
+                from ..index.prune import prune_plan_sharded
+
+                with metrics.timer("sharded/prune"):
+                    planned = prune_plan_sharded(
+                        self, planned, pool_rows, qp, k, fields_boost
+                    )
         fmt = resolve_result_format(
             self.config.effective_result_format(), self.num_slots
         )

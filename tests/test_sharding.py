@@ -591,3 +591,91 @@ def test_sharded_pad_row_trim():
         assert got == [r.key for r in want], queries[qi]
     # 590 real queries in the dominant class: b_pad 1024, b_out 768.
     assert total_rows < 1024
+
+
+class TestShardedPruning:
+    """Sharded block-max pruning (index/prune.py prune_plan_sharded):
+    trim-only, exact — rows must be IDENTICAL (keys + bit-equal f32
+    scores) with pruning on and off, and the skewed corpus must actually
+    trim (`prune/sharded_trimmed_chunks` counter)."""
+
+    def _skewed(self, prune, n=1200, fields=1):
+        from probly_search_tpu.config import IndexConfig
+
+        ix = Index(
+            fields, config=IndexConfig(chunk_size=128, prune_blocks=prune)
+        )
+        col = []
+        for i in range(n):
+            if i < 10:
+                col.append("common common common common")
+            else:
+                col.append(f"common f{i % 97} g{i % 89} h{i % 83} j{i % 79}")
+        cols = [col] + [["x"] * n for _ in range(fields - 1)]
+        ix.add_documents_columnar(list(range(n)), cols)
+        return ix
+
+    def _trimmed(self):
+        from probly_search_tpu.utils.metrics import metrics
+
+        return metrics.snapshot()["counters"].get(
+            "prune/sharded_trimmed_chunks", 0
+        )
+
+    def test_trims_and_stays_bit_equal(self):
+        ix_on = self._skewed(True)
+        ix_off = self._skewed(False)
+        mesh = make_mesh(data=2, docs=4)
+        s_on = ShardedDeviceIndex(ix_on, mesh)
+        s_off = ShardedDeviceIndex(ix_off, mesh)
+        queries = ["common", "common f10", "f11 g12", "zzz", "", "common h3 j4"]
+        before = self._trimmed()
+        r_on = s_on.query_batch(queries, bm25.new(), top_k=3)
+        assert self._trimmed() > before, "skewed mix must trim chunks"
+        r_off = s_off.query_batch(queries, bm25.new(), top_k=3)
+        for q, a_row, b_row in zip(queries, r_on, r_off):
+            assert [r.key for r in a_row] == [r.key for r in b_row], q
+            for a, b in zip(a_row, b_row):
+                assert a.score == b.score, (q, a.key)
+        # and matches the f64 oracle ranking
+        from probly_search_tpu import whitespace_tokenizer
+
+        for q, row in zip(queries, r_on):
+            want = ix_on.query(q, bm25.new(), whitespace_tokenizer, [1.0], top_k=3)
+            assert [r.key for r in row] == [r.key for r in want], q
+
+    def test_per_call_toggle_and_boosts(self):
+        ix = self._skewed(True, fields=2)
+        sdix = ShardedDeviceIndex(ix, make_mesh(data=1, docs=8))
+        queries = ["common", "common f10"]
+        for boost in ([1.0, 1.0], [2.0, 0.5], [0.0, 1.0]):
+            r_on = sdix.query_batch(queries, bm25.new(), fields_boost=boost, top_k=3)
+            sdix.config.prune_blocks = False
+            r_off = sdix.query_batch(queries, bm25.new(), fields_boost=boost, top_k=3)
+            sdix.config.prune_blocks = True
+            for q, a_row, b_row in zip(queries, r_on, r_off):
+                assert [r.key for r in a_row] == [r.key for r in b_row], (q, boost)
+                for a, b in zip(a_row, b_row):
+                    assert a.score == b.score, (q, boost)
+
+    def test_k_gate_and_mutation_resnapshot(self):
+        # k above prune_max_top_k must not prune; after mutation the new
+        # snapshot's bounds still give identical answers.
+        from probly_search_tpu import whitespace_tokenizer
+
+        ix = self._skewed(True)
+        sdix = ShardedDeviceIndex(ix, make_mesh(data=2, docs=4))
+        before = self._trimmed()
+        sdix.query_batch(["common"], bm25.new(), top_k=ix.config.prune_max_top_k + 1)
+        assert self._trimmed() == before, "k above the ladder must not prune"
+        # mutate + fresh sharded snapshot
+        ix.remove_document(3)
+        ix.add_document(
+            [lambda d: [d]], whitespace_tokenizer, 5000, "common common common"
+        )
+        ix._flush_pending()
+        sdix2 = ShardedDeviceIndex(ix, make_mesh(data=2, docs=4))
+        r = sdix2.query_batch(["common", "common f10"], bm25.new(), top_k=3)
+        for q, row in zip(["common", "common f10"], r):
+            want = ix.query(q, bm25.new(), whitespace_tokenizer, [1.0], top_k=3)
+            assert [x.key for x in row] == [x.key for x in want], q

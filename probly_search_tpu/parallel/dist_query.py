@@ -235,8 +235,11 @@ class ShardedDeviceIndex:
         host path.  The assembled per-QUERY job rows are snapshot-static and
         pooled (the sharded mirror of ``DeviceIndex.plan_batch``): repeated
         queries cost one dict lookup + a vectorized CSR gather.
-        ``with_rows=True`` appends the pool job-row indices as a 6th
-        element (the sharded prune pass keys its bounds on them).
+        ``with_rows=True`` appends ``(rows, qp)`` as a 6th element — the
+        pool job-row indices plus the pool object they index, captured
+        UNDER the plan lock (a concurrent pool reset replaces the pool in
+        ``_qplan_pools``; re-fetching by key later could misalign rows
+        with a fresh pool's bounds).
         """
         with self._plan_lock:
             qp = self._qplan_pool(scorer, tokenizer)
@@ -262,7 +265,7 @@ class ShardedDeviceIndex:
                 qp["has_range"][qids],
             )
             if with_rows:
-                planned = planned + (rows,)
+                planned = planned + ((rows, qp),)
             return planned, fallback
 
     def _qplan_pool(self, scorer, tokenizer):
@@ -1139,9 +1142,9 @@ class ShardedDeviceIndex:
             planned, fallback = self.plan_batch(
                 queries, tokenizer, scorer, with_rows=True
             )
-        pool_rows = None
+        pool_rows = plan_qp = None
         if planned is not None:
-            planned, pool_rows = planned[:5], planned[5]
+            planned, (pool_rows, plan_qp) = planned[:5], planned[5]
         host_rows = None
         if fallback:
             metrics.inc("device_fallback_queries", len(fallback))
@@ -1168,22 +1171,17 @@ class ShardedDeviceIndex:
         # trim-only — per-shard jobs lose provably-hopeless leading /
         # trailing chunks, job rows stay shard-aligned.  Exact (bit-equal
         # results, tests/test_sharding.py).
-        if getattr(self.config, "prune_blocks", True):
-            qp = self._qplan_pools.get(
-                (
-                    getattr(
-                        scorer, "device_cache_key", lambda: ("id", id(scorer))
-                    )(),
-                    tokenizer,
-                )
-            )
-            if qp is not None and "prune_sh" in qp:
-                from ..index.prune import prune_plan_sharded
+        if (
+            getattr(self.config, "prune_blocks", True)
+            and plan_qp is not None
+            and "prune_sh" in plan_qp
+        ):
+            from ..index.prune import prune_plan_sharded
 
-                with metrics.timer("sharded/prune"):
-                    planned = prune_plan_sharded(
-                        self, planned, pool_rows, qp, k, fields_boost
-                    )
+            with metrics.timer("sharded/prune"):
+                planned = prune_plan_sharded(
+                    self, planned, pool_rows, plan_qp, k, fields_boost
+                )
         fmt = resolve_result_format(
             self.config.effective_result_format(), self.num_slots
         )

@@ -688,6 +688,12 @@ class PlannedJobs:
     # block-max pruning, index/prune.py).  None when the plan's pool rows
     # are unknown (pruning then no-ops).
     pool_rows: Optional[np.ndarray] = None
+    # Query-plan pool qid per window query + the pool object they index,
+    # captured under the plan lock (prune-decision memoization,
+    # index/prune.py prune_plan_cached).  None when assembled outside
+    # plan_batch (the cached prune then degrades to the direct pass).
+    qids: Optional[np.ndarray] = None
+    qp: Optional[dict] = None
 
 
 class DeviceIndex:
@@ -1249,6 +1255,8 @@ class DeviceIndex:
                 njobs=nj,
                 has_range=qp["has_range"][qids],
                 pool_rows=None if (prows < 0).any() else prows,
+                qids=qids,
+                qp=qp,
             ), fallback
 
     def _qplan_pool(self, scorer, tokenizer):
@@ -1867,6 +1875,11 @@ class DeviceIndex:
                             if plan.pool_rows is not None
                             else None
                         ),
+                        # Spliced queries drop to 0 jobs — the cached prune
+                        # detects the pool mismatch per query and treats
+                        # them as trivially unchanged (index/prune.py).
+                        qids=plan.qids,
+                        qp=plan.qp,
                     )
                     if len(jq2)
                     else None
@@ -1879,10 +1892,10 @@ class DeviceIndex:
         if plan is not None and getattr(cfg, "prune_blocks", True):
             pool = self._plan_pools.get(_scorer_cache_key(scorer))
             if pool is not None and pool.get("prune_enabled"):
-                from .prune import prune_plan
+                from .prune import prune_plan_cached
 
                 with metrics.timer("query/prune"):
-                    plan = prune_plan(self, plan, pool, k, fields_boost)
+                    plan = prune_plan_cached(self, plan, pool, k, fields_boost)
         if plan is None:
             return PendingBatch(
                 self, len(queries), [], host_rows=host_rows, k=k,

@@ -353,6 +353,160 @@ def prune_plan_sharded(sdix, planned, rows, qp, k: int, fields_boost) -> Any:
     return jq, words2, nch2, njobs, has_range
 
 
+def prune_plan_cached(dix, plan, pool, k: int, fields_boost) -> Any:
+    """Per-query memoized :func:`prune_plan`.
+
+    On a frozen snapshot the prune decision for one query depends only on
+    (its pooled job rows, k, boosts) — the bound arrays are pool-static and
+    tau / the slack terms are computed from the query's own jobs.  So the
+    outcome is cached in the query-plan pool (``plan.qp``, captured under
+    the plan lock by ``plan_batch``) keyed by ``(k, boosts)``:
+
+    * status 1 (unchanged): the query's rows pass through verbatim — the
+      steady-state cost on no-prune mixes (e.g. the 1M headline bench,
+      where the window's prune cost was ~5 ms of pure host re-derivation
+      per 16384 repeated queries) collapses to one status gather.
+    * status 2 (pruned): the pruned rows live in per-key alt pools and are
+      spliced in by a vectorized two-source gather.
+
+    First-seen queries run the exact :func:`prune_plan` once on a sub-plan.
+    Queries whose window rows no longer match the pool (the heavy-cache
+    splice zeroes their jobs) are trivially unchanged and are not cached.
+    Results are bit-equal to the direct pass (tests/test_prune.py runs its
+    parity suite through this path; test_prune_cache.py pins cache reuse).
+    """
+    qids, qp = plan.qids, plan.qp
+    if qids is None or qp is None:
+        return prune_plan(dix, plan, pool, k, fields_boost)
+    cfg = dix.config
+    k_cap = int(getattr(cfg, "prune_max_top_k", 16))
+    if plan.pool_rows is None or "prune_ub" not in pool or k > k_cap or k < 1:
+        return plan
+    boosts = np.asarray(fields_boost, dtype=np.float64)
+    if (boosts < 0).any() or len(boosts) != dix.num_fields:
+        return plan
+    from ..utils.metrics import metrics
+
+    key = (k, tuple(boosts.tolist()))
+    with dix._plan_lock:
+        caches = qp.setdefault("prune_cache", {})
+        pc = caches.get(key)
+        npool = len(qp["njobs"])
+        if pc is None:
+            pc = caches[key] = {
+                "status": np.zeros(npool, dtype=np.int8),
+                "alt_map": np.full(npool, -1, dtype=np.int64),
+                "alt_off": np.zeros(0, dtype=np.int64),
+                "alt_njobs": np.zeros(0, dtype=np.int64),
+                "alt_nchunks": np.zeros(0, dtype=np.int64),
+                "alt_words": np.zeros((0, 3), dtype=np.int32),
+                "alt_prows": np.zeros(0, dtype=np.int64),
+            }
+        if len(pc["status"]) < npool:
+            grow = npool - len(pc["status"])
+            pc["status"] = np.concatenate(
+                [pc["status"], np.zeros(grow, np.int8)]
+            )
+            pc["alt_map"] = np.concatenate(
+                [pc["alt_map"], np.full(grow, -1, np.int64)]
+            )
+        status = pc["status"]
+
+        B = len(plan.njobs)
+        # A query is pool-aligned iff its window rows match its pooled rows;
+        # the only in-window divergence (heavy splice) zeroes njobs, and
+        # zero-job queries are trivially unchanged.
+        sq = np.where(plan.njobs > 0, qids, -1)
+        st_q = np.where(sq >= 0, status[np.maximum(sq, 0)], np.int8(1))
+        unk_pos = np.flatnonzero(st_q == 0)
+        poff = np.zeros(B + 1, np.int64)
+        np.cumsum(plan.njobs, out=poff[1:])
+        if len(unk_pos):
+            uq, first = np.unique(sq[unk_pos], return_index=True)
+            upos = unk_pos[first]
+            nj_u = plan.njobs[upos]
+            rsel = np.repeat(poff[upos], nj_u) + _segment_arange(nj_u)
+            from .device import PlannedJobs
+
+            sub = PlannedJobs(
+                jquery=np.repeat(np.arange(len(upos), dtype=np.int64), nj_u),
+                words=plan.words[rsel],
+                nchunks=plan.nchunks[upos],
+                njobs=nj_u,
+                has_range=plan.has_range[upos],
+                pool_rows=plan.pool_rows[rsel],
+            )
+            out = prune_plan(dix, sub, pool, k, fields_boost)
+            metrics.inc("prune/cache_fills", len(uq))
+            if out is sub:
+                status[uq] = 1
+            else:
+                # A pruned chunk strictly reduces its query's chunk total,
+                # and untouched queries' rows pass through bit-equal
+                # (prune_plan's rebuild) — so the per-query change test is
+                # exactly the nchunks comparison.
+                changed_u = out.nchunks < sub.nchunks
+                status[uq[~changed_u]] = 1
+                ch = np.flatnonzero(changed_u)
+                if len(ch):
+                    ooff = np.zeros(len(out.njobs) + 1, np.int64)
+                    np.cumsum(out.njobs, out=ooff[1:])
+                    nj_c = out.njobs[ch]
+                    csel = np.repeat(ooff[ch], nj_c) + _segment_arange(nj_c)
+                    nb = len(pc["alt_njobs"])
+                    pc["alt_map"][uq[ch]] = nb + np.arange(len(ch))
+                    pc["alt_off"] = np.concatenate(
+                        [
+                            pc["alt_off"],
+                            len(pc["alt_words"])
+                            + np.cumsum(nj_c)
+                            - nj_c,
+                        ]
+                    )
+                    pc["alt_njobs"] = np.concatenate([pc["alt_njobs"], nj_c])
+                    pc["alt_nchunks"] = np.concatenate(
+                        [pc["alt_nchunks"], out.nchunks[ch]]
+                    )
+                    pc["alt_words"] = np.concatenate(
+                        [pc["alt_words"], out.words[csel]]
+                    )
+                    pc["alt_prows"] = np.concatenate(
+                        [pc["alt_prows"], out.pool_rows[csel]]
+                    )
+                    status[uq[ch]] = 2
+            st_q = np.where(sq >= 0, status[np.maximum(sq, 0)], np.int8(1))
+
+        use_alt = st_q == 2
+        if not use_alt.any():
+            return plan
+        a_idx = np.where(use_alt, pc["alt_map"][np.maximum(sq, 0)], 0)
+        nj_eff = np.where(use_alt, pc["alt_njobs"][a_idx], plan.njobs)
+        nch_eff = np.where(use_alt, pc["alt_nchunks"][a_idx], plan.nchunks)
+        src_off = np.where(use_alt, pc["alt_off"][a_idx], poff[:B])
+        jq2 = np.repeat(np.arange(B, dtype=np.int64), nj_eff)
+        rows_flat = np.repeat(src_off, nj_eff) + _segment_arange(nj_eff)
+        cf = np.repeat(use_alt, nj_eff)
+        words2 = np.empty((len(jq2), 3), np.int32)
+        words2[~cf] = plan.words[rows_flat[~cf]]
+        words2[cf] = pc["alt_words"][rows_flat[cf]]
+        prows2 = np.empty(len(jq2), np.int64)
+        prows2[~cf] = plan.pool_rows[rows_flat[~cf]]
+        prows2[cf] = pc["alt_prows"][rows_flat[cf]]
+        metrics.inc(
+            "prune/pruned_chunks", int((plan.nchunks - nch_eff).sum())
+        )
+        from .device import PlannedJobs
+
+        return PlannedJobs(
+            jquery=jq2,
+            words=words2,
+            nchunks=nch_eff,
+            njobs=nj_eff,
+            has_range=plan.has_range,
+            pool_rows=prows2,
+        )
+
+
 def prune_plan(dix, plan, pool, k: int, fields_boost) -> Any:
     """Apply block-max pruning to a planned batch.  Returns the (possibly)
     pruned PlannedJobs; the input plan is never mutated.  See module

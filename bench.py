@@ -53,7 +53,17 @@ def main():
     n_docs = int(1e6)
     window = 16384
     n_windows = 2
-    n_passes = 6  # longer timed section averages over tunnel-throughput swings
+    # 48 windows per timed section: each section carries ONE pipeline
+    # fill + final-drain boundary (~70 ms fixed — first window's device
+    # start lags the first submit, the last pair drains after the device
+    # goes idle).  r8 session 11 traced the serving loop: the device
+    # track is 100% busy mid-section (zero gaps >= 1 ms), so short
+    # sections under-reported steady-state throughput by fixed/N —
+    # 12-window sections read ~6 ms/window high (301k vs the 48.4
+    # ms/window pace).  48 windows cuts the boundary share to ~1.5
+    # ms/window while one section (~2.4 s) still sits well inside one
+    # tunnel-weather regime (swings are minute-scale).
+    n_passes = 24
     top_k = 10
     pipeline_depth = 4  # 2 pairs in flight (paired late drains; see below)
 
@@ -146,8 +156,8 @@ def main():
     # pair after two more submissions guarantees the async copies have
     # fully landed, so each read is ~0.1 ms instead of the tunnel's ~37 ms
     # sync+fetch round trip (r6 session 2 A/B: 240.2k -> 277.1k QPS).
-    # The tunnel's throughput swings minute to minute, so five timed
-    # sections are sampled and the MEDIAN section is reported (all five
+    # The tunnel's throughput swings minute to minute, so seven timed
+    # sections are sampled and the MEDIAN section is reported (all seven
     # go into the JSON for transparency).
     from concurrent.futures import ThreadPoolExecutor
 

@@ -212,6 +212,133 @@ def shard_bounds_view(sdix, s: int) -> _ShardBoundsView:
     return v
 
 
+def prune_plan_sharded_cached(
+    sdix, planned, rows, qp, qids, k: int, fields_boost
+) -> Any:
+    """Per-query memoized :func:`prune_plan_sharded` (the sharded mirror
+    of :func:`prune_plan_cached`).
+
+    The sharded trim is TRIM-ONLY — job count and order are invariant —
+    so the cache stores, per (pooled query, k, boosts): status
+    (unchanged / trimmed) plus, for trimmed queries, the trimmed
+    ``[n_shards, nj, 3]`` word rows and the new chunk total; repeats
+    splice word rows in place of the pool gather.  Change detection is a
+    word comparison per job (the per-query ``nchunks`` — the MAX over
+    shards — can survive a trim on a non-max shard, so it is NOT a valid
+    change test here, unlike the single-chip rebuild).  Bit-equal to the
+    direct pass (tests/test_sharding.py::TestShardedPruning, incl. the
+    repeat-window test)."""
+    if planned is None or rows is None or qids is None:
+        return prune_plan_sharded(sdix, planned, rows, qp, k, fields_boost)
+    cfg = sdix.config
+    k_cap = int(getattr(cfg, "prune_max_top_k", 16))
+    if k > k_cap or k < 1:
+        return planned
+    boosts = np.asarray(fields_boost, dtype=np.float64)
+    if (boosts < 0).any() or len(boosts) != sdix.num_fields:
+        return planned
+    from ..utils.metrics import metrics
+
+    key = (k, tuple(boosts.tolist()))
+    n = sdix.n_shards
+    with sdix._plan_lock:
+        caches = qp.setdefault("prune_cache", {})
+        pc = caches.get(key)
+        npool = len(qp["njobs"])
+        if pc is None:
+            pc = caches[key] = {
+                "status": np.zeros(npool, dtype=np.int8),
+                "alt_map": np.full(npool, -1, dtype=np.int64),
+                "alt_off": np.zeros(0, dtype=np.int64),
+                "alt_njobs": np.zeros(0, dtype=np.int64),
+                "alt_nchunks": np.zeros(0, dtype=np.int64),
+                "alt_words": np.zeros((n, 0, 3), dtype=np.int32),
+            }
+        if len(pc["status"]) < npool:
+            grow = npool - len(pc["status"])
+            pc["status"] = np.concatenate(
+                [pc["status"], np.zeros(grow, np.int8)]
+            )
+            pc["alt_map"] = np.concatenate(
+                [pc["alt_map"], np.full(grow, -1, np.int64)]
+            )
+        status = pc["status"]
+
+        jq, words, nchunks, njobs, has_range = planned
+        B = len(njobs)
+        sq = np.where(njobs > 0, qids, -1)
+        st_q = np.where(sq >= 0, status[np.maximum(sq, 0)], np.int8(1))
+        unk_pos = np.flatnonzero(st_q == 0)
+        poff = np.zeros(B + 1, np.int64)
+        np.cumsum(njobs, out=poff[1:])
+        if len(unk_pos):
+            uq, first = np.unique(sq[unk_pos], return_index=True)
+            upos = unk_pos[first]
+            nj_u = njobs[upos]
+            rsel = np.repeat(poff[upos], nj_u) + _segment_arange(nj_u)
+            sub = (
+                np.repeat(np.arange(len(upos), dtype=np.int64), nj_u),
+                words[:, rsel],
+                nchunks[upos],
+                nj_u,
+                has_range[upos],
+            )
+            out = prune_plan_sharded(
+                sdix, sub, rows[rsel], qp, k, fields_boost
+            )
+            metrics.inc("prune/sharded_cache_fills", len(uq))
+            if out is sub:
+                status[uq] = 1
+            else:
+                ow = out[1]
+                chj = (ow != sub[1]).any(axis=(0, 2))  # [Jsub]
+                soff = np.zeros(len(uq) + 1, np.int64)
+                np.cumsum(nj_u, out=soff[1:])
+                changed_u = (
+                    np.add.reduceat(chj.astype(np.int64), soff[:-1]) > 0
+                )
+                status[uq[~changed_u]] = 1
+                ch = np.flatnonzero(changed_u)
+                if len(ch):
+                    nj_c = nj_u[ch]
+                    csel = np.repeat(soff[ch], nj_c) + _segment_arange(nj_c)
+                    nb = len(pc["alt_njobs"])
+                    pc["alt_map"][uq[ch]] = nb + np.arange(len(ch))
+                    pc["alt_off"] = np.concatenate(
+                        [
+                            pc["alt_off"],
+                            pc["alt_words"].shape[1]
+                            + np.cumsum(nj_c)
+                            - nj_c,
+                        ]
+                    )
+                    pc["alt_njobs"] = np.concatenate([pc["alt_njobs"], nj_c])
+                    pc["alt_nchunks"] = np.concatenate(
+                        [pc["alt_nchunks"], out[2][ch]]
+                    )
+                    pc["alt_words"] = np.concatenate(
+                        [pc["alt_words"], ow[:, csel]], axis=1
+                    )
+                    status[uq[ch]] = 2
+            st_q = np.where(sq >= 0, status[np.maximum(sq, 0)], np.int8(1))
+
+        use_alt = st_q == 2
+        if not use_alt.any():
+            return planned
+        a_idx = np.where(use_alt, pc["alt_map"][np.maximum(sq, 0)], 0)
+        nch2 = np.where(use_alt, pc["alt_nchunks"][a_idx], nchunks)
+        words2 = words.copy()
+        ch_pos = np.flatnonzero(use_alt)
+        nj_ch = njobs[ch_pos]
+        dsel = np.repeat(poff[ch_pos], nj_ch) + _segment_arange(nj_ch)
+        ssel = np.repeat(pc["alt_off"][a_idx[ch_pos]], nj_ch) + _segment_arange(
+            nj_ch
+        )
+        words2[:, dsel] = pc["alt_words"][:, ssel]
+        metrics.inc("prune/sharded_cache_splices", len(ch_pos))
+        return jq, words2, nch2, njobs, has_range
+
+
 def prune_plan_sharded(sdix, planned, rows, qp, k: int, fields_boost) -> Any:
     """Trim-only sharded block-max pruning (module docstring, sharded
     paragraph).  ``planned`` is the 5-tuple from

@@ -235,11 +235,13 @@ class ShardedDeviceIndex:
         host path.  The assembled per-QUERY job rows are snapshot-static and
         pooled (the sharded mirror of ``DeviceIndex.plan_batch``): repeated
         queries cost one dict lookup + a vectorized CSR gather.
-        ``with_rows=True`` appends ``(rows, qp)`` as a 6th element — the
-        pool job-row indices plus the pool object they index, captured
-        UNDER the plan lock (a concurrent pool reset replaces the pool in
-        ``_qplan_pools``; re-fetching by key later could misalign rows
-        with a fresh pool's bounds).
+        ``with_rows=True`` appends ``(rows, qp, qids)`` as a 6th element —
+        the pool job-row indices, the pool object they index, and the pool
+        qid per window query, all captured UNDER the plan lock (a
+        concurrent pool reset replaces the pool in ``_qplan_pools``;
+        re-fetching by key later could misalign rows with a fresh pool's
+        bounds).  ``qids`` keys the per-query prune-decision cache
+        (index/prune.py prune_plan_sharded_cached).
         """
         with self._plan_lock:
             qp = self._qplan_pool(scorer, tokenizer)
@@ -265,7 +267,7 @@ class ShardedDeviceIndex:
                 qp["has_range"][qids],
             )
             if with_rows:
-                planned = planned + ((rows, qp),)
+                planned = planned + ((rows, qp, qids),)
             return planned, fallback
 
     def _qplan_pool(self, scorer, tokenizer):
@@ -1142,9 +1144,9 @@ class ShardedDeviceIndex:
             planned, fallback = self.plan_batch(
                 queries, tokenizer, scorer, with_rows=True
             )
-        pool_rows = plan_qp = None
+        pool_rows = plan_qp = plan_qids = None
         if planned is not None:
-            planned, (pool_rows, plan_qp) = planned[:5], planned[5]
+            planned, (pool_rows, plan_qp, plan_qids) = planned[:5], planned[5]
         host_rows = None
         if fallback:
             metrics.inc("device_fallback_queries", len(fallback))
@@ -1170,17 +1172,19 @@ class ShardedDeviceIndex:
         # Sharded block-max pruning (index/prune.py prune_plan_sharded):
         # trim-only — per-shard jobs lose provably-hopeless leading /
         # trailing chunks, job rows stay shard-aligned.  Exact (bit-equal
-        # results, tests/test_sharding.py).
+        # results, tests/test_sharding.py).  Decisions are memoized per
+        # (pooled query, k, boosts) like the single-chip engine's.
         if (
             getattr(self.config, "prune_blocks", True)
             and plan_qp is not None
             and "prune_sh" in plan_qp
         ):
-            from ..index.prune import prune_plan_sharded
+            from ..index.prune import prune_plan_sharded_cached
 
             with metrics.timer("sharded/prune"):
-                planned = prune_plan_sharded(
-                    self, planned, pool_rows, plan_qp, k, fields_boost
+                planned = prune_plan_sharded_cached(
+                    self, planned, pool_rows, plan_qp, plan_qids, k,
+                    fields_boost,
                 )
         fmt = resolve_result_format(
             self.config.effective_result_format(), self.num_slots

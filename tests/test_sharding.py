@@ -658,6 +658,36 @@ class TestShardedPruning:
                 for a, b in zip(a_row, b_row):
                     assert a.score == b.score, (q, boost)
 
+    def test_repeat_window_rides_cache(self):
+        # Second serve of the same window must splice memoized trims
+        # (prune/sharded_cache_fills stays flat) and return identical
+        # rows (index/prune.py prune_plan_sharded_cached).
+        from probly_search_tpu.utils.metrics import metrics
+
+        def fills():
+            return metrics.snapshot()["counters"].get(
+                "prune/sharded_cache_fills", 0
+            )
+
+        ix = self._skewed(True)
+        sdix = ShardedDeviceIndex(ix, make_mesh(data=2, docs=4))
+        queries = ["common", "common f10", "f11 g12", "common"]
+        first = sdix.query_batch(queries, bm25.new(), top_k=3)
+        filled = fills()
+        assert filled > 0
+        again = sdix.query_batch(queries, bm25.new(), top_k=3)
+        assert fills() == filled, "repeat window must not refill"
+        assert (
+            metrics.snapshot()["counters"].get(
+                "prune/sharded_cache_splices", 0
+            )
+            > 0
+        ), "the skewed mix has trimmed queries, so repeats must splice"
+        for q, a_row, b_row in zip(queries, first, again):
+            assert [r.key for r in a_row] == [r.key for r in b_row], q
+            for a, b in zip(a_row, b_row):
+                assert a.score == b.score, (q, a.key)
+
     def test_k_gate_and_mutation_resnapshot(self):
         # k above prune_max_top_k must not prune; after mutation the new
         # snapshot's bounds still give identical answers.

@@ -70,7 +70,11 @@ def analyze(trace_dir, label, min_gap_ms=1.0):
                 if s > ce:
                     gaps.append((ce, s - ce))
                 ce = max(ce, e2)
-            big = [(round(g / 1e3, 2), round((s - t0) / 1e3, 1)) for s, g in gaps if g / 1e3 >= min_gap_ms]
+            big = [
+                (round(g / 1e3, 2), round((s - t0) / 1e3, 1))
+                for s, g in gaps
+                if g / 1e3 >= min_gap_ms
+            ]
             names = {}
             for e in es:
                 names[e["name"]] = names.get(e["name"], 0) + e.get("dur", 0)

@@ -7,8 +7,6 @@ re-deriving bounds — pinned via the ``prune/cache_fills`` counter, which
 counts first-seen (query, k, boosts) fills only.
 """
 
-import numpy as np
-
 from probly_search_tpu import Index, bm25, whitespace_tokenizer
 from probly_search_tpu.config import IndexConfig
 from probly_search_tpu.utils.metrics import metrics
@@ -102,6 +100,24 @@ class TestPruneCache:
             ix.remove_document(i)
         pruned, base, _ = _serve_ab(ix, q, k=3)
         _assert_rows_equal(pruned, base, q)
+
+    def test_heavy_splice_interplay(self):
+        # A heavy-cached query's jobs are spliced OUT of the window plan
+        # before pruning (njobs -> 0): the cached prune must treat it as
+        # trivially unchanged — never caching a decision for it — while
+        # still pruning/memoizing its window-mates, with rows identical
+        # to a prune-off serve for every query.
+        ix = _skewed_index()
+        ix.config.heavy_cache_min_chunks = 2  # "common"'s 600 docs qualify
+        queries = ["common", "f1", "common f1"]
+        for _ in range(2):  # second pass rides both caches
+            pruned, base, _ = _serve_ab(ix, queries, k=3)
+            _assert_rows_equal(pruned, base, queries)
+        from probly_search_tpu.utils.metrics import metrics
+
+        assert (
+            metrics.snapshot()["counters"].get("heavy_cache_hits", 0) > 0
+        ), "the heavy query must actually ride the heavy cache"
 
     def test_fuzz_repeat_windows(self):
         import random

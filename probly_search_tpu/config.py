@@ -132,6 +132,24 @@ class IndexConfig:
     # Top-k depth stored per cached heavy query (requests with larger k
     # bypass the cache).
     heavy_cache_top_k: int = 128
+    # LIGHT-CLASS chunk width (EXPERIMENTAL, default off): queries whose
+    # merged lane count would strictly shrink are classed at this
+    # smaller chunk width instead of the global one.  Motivation: the r8
+    # lane census (benchmarks/r8s13_lanestats.py) measured 37.6% of the
+    # headline window's chunk-grid lanes as in-chunk tail padding,
+    # concentrated in light classes (the dominant NC=3 class carries
+    # only 21.6% payload).  Results are EXACT at any valid width (pow2,
+    # 128-divisible, below the global width — chunks stay ascending
+    # doc-sorted runs; tests/test_light_classes.py pins bit-equality
+    # across all three dispatch paths, on-chip included).  DEFAULT OFF
+    # because the premise FAILED on hardware (PERFORMANCE.md r8 s14,
+    # two interleaved A/Bs): fine light buckets LOST 3.3 ms/window
+    # (every extra class entry costs ~1 ms fixed device time) and
+    # coarse {4,8,12} buckets were a pace WASH — small classes are
+    # fixed-cost-dominated, so "device compute ~linear in lanes" does
+    # not extend to them.  Kept as a measured, tested experiment
+    # surface for workloads with different class mixes.  0 disables.
+    light_chunk_size: int = 0
     # Fine (non-pow2) chunk-count buckets for the fused shape classes:
     # adds NC in {2, 3, 6, 12, 24} to the pow2 ladder, so e.g. the dominant
     # 3-single-chunk-term query class stops padding 33% of its gather,

@@ -393,14 +393,19 @@ def _window_step_impl(
     """
     outs = []
     off = 0
-    for b_pad, b_out, nj, nc, rng in class_specs:
+    for spec in class_specs:
+        # Light classes carry their own chunk width as a 6th element
+        # (IndexConfig.light_chunk_size); legacy 5-tuples (checked-in
+        # template manifests) use the window's global width.
+        b_pad, b_out, nj, nc, rng = spec[:5]
+        cw = spec[5] if len(spec) > 5 else chunk
         n = b_pad * nj * 3
         jobs_flat = words_flat[off : off + n].reshape(b_pad, nj * 3)
         off += n
-        kk = min(k, nc * chunk)
+        kk = min(k, nc * cw)
         s, d = _query_step_impl(
             scorer,
-            chunk=chunk,
+            chunk=cw,
             k=kk,
             qterm_bits=qterm_bits,
             num_fields=num_fields,
@@ -1488,8 +1493,14 @@ class DeviceIndex:
             if tkey[0] != skey:
                 continue
             _, k, fmt, _w = tkey
-            class_specs = tuple((cap, cap, nj, nc, False) for nc, nj, cap in entries)
-            total = sum(cap * nj * 3 for nc, nj, cap in entries)
+            # Entries are (nc, nj, cap[, cw]) — legacy 3-tuple manifests
+            # predate light classes and imply the global chunk width.
+            class_specs = tuple(
+                (e[2], e[2], e[1], e[0], False,
+                 e[3] if len(e) > 3 else self.CHUNK)
+                for e in entries
+            )
+            total = sum(e[2] * e[1] * 3 for e in entries)
             packed = step(
                 self.rec,
                 self.field_avg,
@@ -1544,13 +1555,19 @@ class DeviceIndex:
         """
         C = self.CHUNK
         nc_bucket = _bucket_vec(plan.nchunks, self.nc_buckets, self.nc_min)
+        small, nc_small = self._light_classes(n_queries, plan, nc_bucket)
         # One pass: per-query class id + position within class (queries are
         # index-sorted within each class), then every job places itself by
         # direct lookup — no per-class isin/searchsorted.  The class id
-        # encodes the range flag in bit 0.
+        # encodes the range flag in bit 0 and the light-width flag in
+        # bit 1 (light classes decompose at light_chunk_size on device).
         alive = plan.njobs > 0
         class_of_q = np.where(
-            alive, nc_bucket * 2 + plan.has_range.astype(np.int64), -1
+            alive,
+            np.where(small, nc_small, nc_bucket) * 4
+            + small.astype(np.int64) * 2
+            + plan.has_range.astype(np.int64),
+            -1,
         )
         order = np.argsort(class_of_q, kind="stable")
         sorted_cls = class_of_q[order]
@@ -1560,10 +1577,11 @@ class DeviceIndex:
         out = []
         for cls in np.unique(class_of_q[alive]) if alive.any() else []:
             cls = int(cls)
-            nc, rng = cls // 2, bool(cls & 1)
+            nc, rng = cls // 4, bool(cls & 1)
+            cw = self._light_width() if cls & 2 else C
             members = order[sorted_cls == cls]
             nj = _bucket(int(plan.njobs[members].max()), self.NJ_BUCKETS, 4)
-            b_cap = max(1, int(self.LANES_PER_DISPATCH // (nc * C)))
+            b_cap = max(1, int(self.LANES_PER_DISPATCH // (nc * cw)))
             # Expansion-heavy classes (huge nc, usually singleton queries)
             # drop the 8-row minimum pad: they take the staged XLA path
             # (L > fused cap), where a [1, NC, C] gather is fine, and an
@@ -1572,7 +1590,7 @@ class DeviceIndex:
             # compiler handled every [1..2, L] range program in minutes but
             # sat > 45 min on an [8, 512k-lane] one (r4 measurement) — and
             # range queries are rare enough that small pads cost nothing.
-            min_pad = 1 if (rng or nc * C > (1 << 21)) else 8
+            min_pad = 1 if (rng or nc * cw > (1 << 21)) else 8
             if rng:
                 b_cap = min(b_cap, 2)
             if rng or not getattr(self.config, "pow2_row_split", True):
@@ -1595,8 +1613,60 @@ class DeviceIndex:
                 pos = _segment_arange(qnj)
                 src = np.repeat(jpos[idxs], qnj) + pos
                 jobs_flat[rows, pos] = plan.words[src]
-                out.append((idxs, jobs_flat.reshape(B_pad, nj * 3), nc, nj, rng))
+                out.append(
+                    (idxs, jobs_flat.reshape(B_pad, nj * 3), nc, nj, rng, cw)
+                )
         return out
+
+    def _light_width(self) -> int:
+        """Effective light-class chunk width (0 = disabled; must be a
+        smaller power of two than the global width for the fused kernel's
+        pow2/merge-run contract)."""
+        cw = int(getattr(self.config, "light_chunk_size", 0) or 0)
+        if cw <= 0 or cw >= self.CHUNK or (cw & (cw - 1)) or cw % 128:
+            return 0
+        return cw
+
+    def _light_classes(self, n_queries: int, plan: PlannedJobs, nc_bucket):
+        """Per-query light-class choice: (small bool[B], nc_small int64[B]).
+
+        A query goes light iff its bucketed lane count at the light width
+        is strictly below its bucketed lane count at the global width —
+        recomputed from the (possibly pruned) job words so the decision
+        tracks exactly what the device will decompose — and it carries no
+        term-range job.  nc_small is its chunk-count bucket at the light
+        width (only meaningful where small).
+        """
+        cw = self._light_width()
+        if not cw:
+            z = np.zeros(n_queries, dtype=bool)
+            return z, np.zeros(n_queries, dtype=np.int64)
+        jstart = plan.words[:, 0].astype(np.int64)
+        jlen = (plan.words[:, 1] & _MAX_JOB_LEN).astype(np.int64)
+        njc_s = np.where(jlen > 0, (jstart % 128 + jlen + cw - 1) // cw, 0)
+        nch_s = np.bincount(
+            plan.jquery, weights=njc_s.astype(np.float64), minlength=n_queries
+        ).astype(np.int64)
+        # COARSE light buckets, not the fine ladder: the per-dispatch
+        # fixed device cost is ~1 ms (r7 s1c), so every extra class
+        # entry eats a lane win.  Fine light buckets measured a net
+        # LOSS on hardware (r8 s14: pace 55.1 vs 51.8 ms/window off —
+        # ~7 extra template entries outweighed a ~20% lane cut).  At
+        # most 3 light geometries absorb (and empty) several big
+        # classes, keeping the entry count ~flat.  Also bounded by the
+        # Mosaic sflag wall measured the same session: an NC=64 kernel
+        # (8 rows x 64 chunk DMA sems) needs 2.1K of the 2.0K
+        # semaphore space and fails to compile.
+        nc_small = _bucket_vec(nch_s, self._LIGHT_NC_BUCKETS, 4)
+        small = (
+            (plan.njobs > 0)
+            & ~plan.has_range
+            & (nch_s <= self._LIGHT_NC_BUCKETS[-1])
+            & (nc_small * cw < nc_bucket * self.CHUNK)
+        )
+        return small, nc_small
+
+    _LIGHT_NC_BUCKETS = (4, 8, 12)
 
     def _pack_dispatches_template(self, n_queries: int, plan: PlannedJobs, tkey):
         """Template-composition packing (IndexConfig.template_compositions).
@@ -1618,12 +1688,20 @@ class DeviceIndex:
         C = self.CHUNK
         nc_b = _bucket_vec(plan.nchunks, self.nc_buckets, self.nc_min)
         nj_b = _bucket_vec(plan.njobs, self.NJ_BUCKETS, 4)
+        small, nc_small = self._light_classes(n_queries, plan, nc_b)
+        nc_eff = np.where(small, nc_small, nc_b)
+        lw = self._light_width()
         alive = plan.njobs > 0
         jpos = np.zeros(n_queries, dtype=np.int64)
         np.subtract(np.cumsum(plan.njobs), plan.njobs, out=jpos)
 
-        # Distinct live query classes, ascending (nc, nj).
-        cls = np.where(alive, (nc_b << 12) | nj_b, -1)
+        # Distinct live query classes, ascending (width, nc, nj) — bit 30
+        # is the light-width flag (no cross-width spill: a light query's
+        # chunk count differs per width, so eligibility is only checked
+        # against same-width entries; capacities grow per (width, nc)).
+        cls = np.where(
+            alive, (small.astype(np.int64) << 30) | (nc_eff << 12) | nj_b, -1
+        )
         order = np.argsort(cls, kind="stable")
         scls = cls[order]
         start = int(np.searchsorted(scls, 0))
@@ -1633,20 +1711,23 @@ class DeviceIndex:
         bounds = np.flatnonzero(np.r_[True, qcls[1:] != qcls[:-1], True])
         qclasses = [
             (
-                int(qcls[bounds[i]]) >> 12,
+                (int(qcls[bounds[i]]) >> 12) & 0x3FFFF,
                 int(qcls[bounds[i]]) & 0xFFF,
+                lw if (int(qcls[bounds[i]]) >> 30) else C,
                 qorder[bounds[i] : bounds[i + 1]],
             )
             for i in range(len(bounds) - 1)
         ]
 
         def try_assign(entries):
-            remaining = [cap for _, _, cap in entries]
+            remaining = [e[2] for e in entries]
             buckets = [[] for _ in entries]
-            for ncq, njq, members in qclasses:
+            for ncq, njq, cwq, members in qclasses:
                 pos = 0
-                for ei, (nct, njt, _cap) in enumerate(entries):
-                    if nct < ncq or njt < njq:
+                for ei, e in enumerate(entries):
+                    nct, njt = e[0], e[1]
+                    cwt = e[3] if len(e) > 3 else C
+                    if cwt != cwq or nct < ncq or njt < njq:
                         continue
                     take = min(remaining[ei], len(members) - pos)
                     if take:
@@ -1662,32 +1743,38 @@ class DeviceIndex:
         entries = self._comp_templates.get(tkey)
         buckets = try_assign(entries) if entries else None
         if buckets is None:
-            # (Re)freeze.  Per nc class: capacity = max(current count,
-            # previous total capacity) x headroom rounded up to 8 rows
-            # (the fused kernel's row-block divisor); nj = the largest
+            # (Re)freeze.  Per (width, nc) class: capacity = max(current
+            # count, previous total capacity) x headroom rounded up to 8
+            # rows (the fused kernel's row-block divisor); nj = the largest
             # bucket seen.  Capacities only grow, so refreezes converge.
             headroom = float(getattr(self.config, "template_headroom", 1.15))
-            need: Dict[int, int] = {}
-            njmax: Dict[int, int] = {}
-            prev_cap: Dict[int, int] = {}
-            for ncq, njq, members in qclasses:
-                need[ncq] = need.get(ncq, 0) + len(members)
-                njmax[ncq] = max(njmax.get(ncq, 0), njq)
-            for nct, njt, cap in entries or ():
-                # SUM previous caps per nc (a class can span several
-                # entries when b_cap splits it) so capacity is monotone.
-                prev_cap[nct] = prev_cap.get(nct, 0) + cap
-                njmax[nct] = max(njmax.get(nct, 0), njt)
+            need: Dict[Any, int] = {}
+            njmax: Dict[Any, int] = {}
+            prev_cap: Dict[Any, int] = {}
+            for ncq, njq, cwq, members in qclasses:
+                key = (cwq, ncq)
+                need[key] = need.get(key, 0) + len(members)
+                njmax[key] = max(njmax.get(key, 0), njq)
+            for e in entries or ():
+                # SUM previous caps per (width, nc) (a class can span
+                # several entries when b_cap splits it) so capacity is
+                # monotone.
+                key = (e[3] if len(e) > 3 else C, e[0])
+                prev_cap[key] = prev_cap.get(key, 0) + e[2]
+                njmax[key] = max(njmax.get(key, 0), e[1])
             entries = []
-            for nc in sorted(set(need) | set(prev_cap)):
+            for key in sorted(set(need) | set(prev_cap)):
+                cw, nc = key
                 # Headroom applies to the live demand; previous capacity
                 # is a floor (no headroom re-compounding across refreezes).
-                want = max(int(need.get(nc, 0) * headroom), prev_cap.get(nc, 0))
+                want = max(
+                    int(need.get(key, 0) * headroom), prev_cap.get(key, 0)
+                )
                 cap_total = -(-want // 8) * 8
-                b_cap = max(8, (self.LANES_PER_DISPATCH // (nc * C)) // 8 * 8)
+                b_cap = max(8, (self.LANES_PER_DISPATCH // (nc * cw)) // 8 * 8)
                 while cap_total > 0:
                     cap = min(cap_total, b_cap)
-                    entries.append((nc, njmax[nc], cap))
+                    entries.append((nc, njmax[key], cap, cw))
                     cap_total -= cap
             self._comp_templates[tkey] = entries
             metrics.inc("template_refreezes", 1)
@@ -1698,7 +1785,9 @@ class DeviceIndex:
                 )
 
         dispatches, class_specs = [], []
-        for (nc, nj, cap), blist in zip(entries, buckets):
+        for e, blist in zip(entries, buckets):
+            nc, nj, cap = e[0], e[1], e[2]
+            cw = e[3] if len(e) > 3 else C
             idxs = (
                 np.concatenate(blist) if blist else np.empty(0, dtype=np.int64)
             )
@@ -1710,8 +1799,10 @@ class DeviceIndex:
                 pos = _segment_arange(qnj)
                 src = np.repeat(jpos[idxs], qnj) + pos
                 jobs_flat[rows, pos] = plan.words[src]
-            dispatches.append((idxs, jobs_flat.reshape(cap, nj * 3), nc, nj, False))
-            class_specs.append((cap, cap, nj, nc, False))
+            dispatches.append(
+                (idxs, jobs_flat.reshape(cap, nj * 3), nc, nj, False, cw)
+            )
+            class_specs.append((cap, cap, nj, nc, False, cw))
         return dispatches, tuple(class_specs)
 
     # ------------------------------------------------------------------ #
@@ -1941,15 +2032,16 @@ class DeviceIndex:
             # the composed window on hardware (PERFORMANCE.md r7).
             class_specs = tuple(
                 (
-                    jobs_flat.shape[0],
-                    min(jobs_flat.shape[0], -(-len(idxs) // 256) * 256),
-                    nj,
-                    nc,
-                    rng,
+                    d[1].shape[0],
+                    min(d[1].shape[0], -(-len(d[0]) // 256) * 256),
+                    d[3],
+                    d[2],
+                    d[4],
+                    d[5] if len(d) > 5 else self.CHUNK,
                 )
-                for idxs, jobs_flat, nc, nj, rng in dispatches
+                for d in dispatches
             )
-            any_ranges = any(rng for *_rest, rng in class_specs)
+            any_ranges = any(spec[4] for spec in class_specs)
             aux = (
                 self._aux_rec(scorer)
                 if any_ranges
@@ -1958,7 +2050,7 @@ class DeviceIndex:
             dummy_aux = jnp.asarray(_AUX_DUMMY)
             with metrics.timer("query/h2d"):
                 words_np = np.concatenate(
-                    [jf.reshape(-1) for _, jf, _, _, _ in dispatches]
+                    [d[1].reshape(-1) for d in dispatches]
                 )
                 # Pad the packed H2D buffer to a pow2 bucket so the class
                 # programs' jit keys — (class statics, buffer length) — do
@@ -1971,7 +2063,7 @@ class DeviceIndex:
             ss, ds, b_outs = [], [], []
             off = 0
             with metrics.timer("query/dispatch"):
-                for (idxs, jobs_flat, nc, nj, rng), (b_pad, b_out, *_r) in zip(
+                for disp, (b_pad, b_out, nj, nc, rng, cw) in zip(
                     dispatches, class_specs
                 ):
                     s, d = cstep(
@@ -1981,8 +2073,8 @@ class DeviceIndex:
                         words_flat,
                         off,
                         aux if rng else dummy_aux,
-                        chunk=self.CHUNK,
-                        k=min(k, nc * self.CHUNK),
+                        chunk=cw,
+                        k=min(k, nc * cw),
                         qterm_bits=self._qterm_bits,
                         num_fields=self.num_fields,
                         num_chunks=nc,
@@ -2019,15 +2111,16 @@ class DeviceIndex:
             # packing supplies its own frozen specs (b_out == capacity).
             class_specs = tpl_specs if tpl_specs is not None else tuple(
                 (
-                    jobs_flat.shape[0],
-                    min(jobs_flat.shape[0], -(-len(idxs) // 256) * 256),
-                    nj,
-                    nc,
-                    rng,
+                    d[1].shape[0],
+                    min(d[1].shape[0], -(-len(d[0]) // 256) * 256),
+                    d[3],
+                    d[2],
+                    d[4],
+                    d[5] if len(d) > 5 else self.CHUNK,
                 )
-                for idxs, jobs_flat, nc, nj, rng in dispatches
+                for d in dispatches
             )
-            any_ranges = any(rng for *_rest, rng in class_specs)
+            any_ranges = any(spec[4] for spec in class_specs)
             aux = (
                 self._aux_rec(scorer)
                 if any_ranges
@@ -2036,7 +2129,7 @@ class DeviceIndex:
             with metrics.timer("query/h2d"):
                 words_flat = jnp.asarray(
                     np.concatenate(
-                        [jf.reshape(-1) for _, jf, _, _, _ in dispatches]
+                        [d[1].reshape(-1) for d in dispatches]
                     )
                 )
             step = _get_window_step(scorer)
@@ -2071,10 +2164,11 @@ class DeviceIndex:
             )
         step = _get_step(scorer)
         parts = []
-        for idxs, jobs_flat, nc, nj, rng in dispatches:
+        for idxs, jobs_flat, nc, nj, rng, *rest in dispatches:
+            cw = rest[0] if rest else self.CHUNK
             top_scores, top_docs = step(
-                chunk=self.CHUNK,
-                k=min(k, nc * self.CHUNK),
+                chunk=cw,
+                k=min(k, nc * cw),
                 qterm_bits=self._qterm_bits,
                 num_fields=self.num_fields,
                 num_chunks=nc,

@@ -90,7 +90,7 @@ def test_fused_fine_nc_classes(fused_interpret):
     plan, fallback = dix.plan_batch(queries, tokenizer, bm25.new())
     assert plan is not None and not fallback
     ncs = sorted(
-        {nc for (_i, _j, nc, _nj, _r) in dix.pack_dispatches(len(queries), plan)}
+        {d[2] for d in dix.pack_dispatches(len(queries), plan)}
     )
     assert any(nc not in (1, 2, 4, 8, 16) for nc in ncs), ncs  # fine classes hit
     rows = ix.query_batch(queries, bm25.new(), top_k=10, backend="device")

@@ -87,9 +87,10 @@ def main():
     for b in buckets:
         m = cls == b
         if m.any():
+            pay = jlen[np.isin(plan.jquery, np.flatnonzero(m))].sum()
             log(
                 f"  class NC={b:4d}: {int(m.sum()):6d} queries, "
-                f"payload {100 * jlen[np.isin(plan.jquery, np.flatnonzero(m))].sum() / max(1, (b * C) * m.sum()):.1f}%"
+                f"payload {100 * pay / max(1, (b * C) * m.sum()):.1f}%"
             )
 
 
